@@ -1,0 +1,47 @@
+"""Fixture table IO.
+
+One parquet file per table under ``{sf_dir}/`` (TESTDATA.md). Loading is a
+plain ``spark.read.parquet`` so Catalyst's parquet source handles predicate
+pushdown / column pruning / partition coalescing; at 100 TB the same call
+points at a partitioned directory tree and nothing else changes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        # ts is TIMESTAMP(NANOS) in the file; with nanosAsLong it arrives as
+        # ns-since-epoch. Truncate to µs exactly as DuckDB does (fixture data
+        # is µs-aligned, so this is lossless — FIXTURES.md).
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: table(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register each fixture table as a temp view (idempotent)."""
+    dfs = load_tables(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs

@@ -1,0 +1,93 @@
+"""Scans, sources and sinks (SURVEY §2B "Scans / sources / sinks").
+
+Reference parity: the reference's only "table" is an append-only JSON-lines
+log (/root/reference/main.go:86-92,116-120) plus a legacy file-per-record
+text sink (README.md:3,24). Here those become parquet/json/text DataFrame
+sinks; scans are plain parquet reads where Catalyst pushes predicates and
+prunes columns into the file source (verify with .explain: PushedFilters /
+ReadSchema).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_ingestor_web_app_spark.io import table
+from data_ingestor_web_app_spark.registry import query
+
+
+@query(
+    "scan_parquet",
+    oracle="SELECT r_regionkey, r_name FROM region",
+)
+def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full table scan. At 100 TB this is a partitioned directory scan; the
+    vectorized parquet reader keeps it columnar end-to-end."""
+    return table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+
+
+@query(
+    "scan_pruned",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM lineitem
+    WHERE l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+      AND l_discount BETWEEN 0.02 AND 0.04
+    """,
+)
+def scan_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan with projection + predicate pushdown: only 5 of 11 lineitem
+    columns are read and both predicates reach the parquet reader
+    (PushedFilters: [LessThan(l_shipdate,...), GreaterThanOrEqual(...)]).
+    """
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.02, 0.04)
+        )
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+    )
+
+
+@query("sink_json_lines")  # rows-only: JSON round-trip re-types timestamps
+def sink_json_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R11: append-only JSON-lines sink (main.go:116-120), then read back.
+
+    Write path is the same `df.write.json` that at scale fans out one file
+    per task; round-trip proves the sink is lossless for the LogEntry-shaped
+    columns. Output: stable scalar projection of the re-read data.
+    """
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    out = os.path.join(tempfile.mkdtemp(prefix="sink_json_"), "docs")
+    docs.write.mode("overwrite").json(out)
+    back = spark.read.json(out)
+    return back.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("lang").alias("lang"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )
+
+
+@query("sink_partitioned_text")  # rows-only: filesystem round-trip
+def sink_partitioned_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R14/R20: date-partitioned text sink (legacy file-per-record ./data dir,
+    logrotate daily rotation). Partitioning column = order date; retention at
+    scale is `WHERE d >= retention_horizon` partition pruning + drop.
+    """
+    orders = table(spark, sf_dir, "orders")
+    lines = orders.select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("d"),
+        F.concat_ws("|", F.col("o_orderkey"), F.col("o_orderstatus")).alias("value"),
+    )
+    out = os.path.join(tempfile.mkdtemp(prefix="sink_text_"), "orders")
+    lines.write.mode("overwrite").partitionBy("d").text(out)
+    back = spark.read.format("text").load(out)  # partition col `d` recovered from dir layout
+    return back.select(
+        F.split_part(F.col("value"), F.lit("|"), F.lit(1)).cast("long").alias("o_orderkey"),
+        F.split_part(F.col("value"), F.lit("|"), F.lit(2)).alias("o_orderstatus"),
+    )

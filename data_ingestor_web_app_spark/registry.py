@@ -1,0 +1,63 @@
+"""Query inventory registry.
+
+Every operator from SURVEY.md §2B registers itself here via the ``@query``
+decorator, carrying its DuckDB oracle SQL alongside the Spark implementation
+so the pair can never drift apart. ``__spark_entry__.py`` re-exports the two
+dicts for the driver.
+
+Determinism contract (SURVEY §7 hard parts):
+- alias every computed column identically in Spark and oracle SQL;
+- round float aggregates in BOTH engines;
+- ``lower(hex(...))`` everywhere (Go %x parity);
+- any top-k / row_number has a total order (unique tie-break column);
+- never ``current_timestamp()`` inside a checked query.
+"""
+
+from __future__ import annotations
+
+import importlib
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+_MODULES = [
+    "data_ingestor_web_app_spark.operators.scans",
+    "data_ingestor_web_app_spark.operators.filters",
+    "data_ingestor_web_app_spark.operators.joins",
+    "data_ingestor_web_app_spark.operators.aggregates",
+    "data_ingestor_web_app_spark.operators.windows",
+    "data_ingestor_web_app_spark.operators.setops",
+    "data_ingestor_web_app_spark.functions.scalar",
+    "data_ingestor_web_app_spark.ingest.records",
+    "data_ingestor_web_app_spark.streaming.queries",
+    "data_ingestor_web_app_spark.llm.dedup",
+    "data_ingestor_web_app_spark.llm.similarity",
+    "data_ingestor_web_app_spark.llm.text",
+    "data_ingestor_web_app_spark.llm.multimodal",
+]
+
+
+def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    """Register ``fn`` as queries()[name]; ``oracle`` is DuckDB SQL or None
+    for rows-only checks (approx/streaming-state/UDF-escaping ops)."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in QUERIES:
+            raise ValueError(f"duplicate query name: {name}")
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle.strip()
+        return fn
+
+    return deco
+
+
+def load_all() -> None:
+    """Import every operator module so registration side effects run."""
+    for mod in _MODULES:
+        importlib.import_module(mod)
