@@ -1,1 +1,299 @@
-"""(stub — filled in later this round)"""
+"""Streaming queries (SURVEY §2B "Streaming").
+
+Every query here runs REAL Structured Streaming (file source replaying the
+events fixture in micro-batches → stateful operators → memory sink,
+availableNow trigger), then returns the final result as a DataFrame. The
+batch-equivalent DuckDB SQL is the oracle where the semantics are
+SQL-expressible (tumbling/sliding/session/dedup/final counts); watermark
+drops and observed metrics are rows-only, as declared in SURVEY §2B.
+
+Reference parity: R3 gap framing → session_window; R15 running counters →
+streaming groupBy in update mode; R16 30 s reporting → trigger cadence
+(runtime.PROD_TRIGGER); R11-R14 sink fan-out → stream_fanout_sinks.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_ingestor_web_app_spark.io import table
+from data_ingestor_web_app_spark.registry import query
+from data_ingestor_web_app_spark.streaming import runtime
+
+_TS_FMT = "yyyy-MM-dd HH:mm:ss"
+
+
+@query(
+    "stream_tumbling",
+    oracle="""
+    SELECT STRFTIME(DATE_TRUNC('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+           event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type counts/sums in 1 h tumbling windows over the replayed
+    stream. Complete output mode: the memory sink holds the final window
+    table (prod: append mode + watermark, parquet sink partitioned by
+    window date)."""
+    s = runtime.events_stream(spark, sf_dir)
+    agg = (
+        s.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.date_format(F.col("window.start"), _TS_FMT).alias("win_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    return runtime.run_to_memory(agg, "complete")
+
+
+@query(
+    "stream_sliding",
+    oracle="""
+    WITH expanded AS (
+        SELECT time_bucket(INTERVAL 15 MINUTE, ts) - k * INTERVAL 15 MINUTE AS win_start,
+               value
+        FROM events
+        CROSS JOIN (SELECT UNNEST([0, 1, 2, 3]) AS k) slides
+    )
+    SELECT STRFTIME(win_start, '%Y-%m-%d %H:%M:%S') AS win_start,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM expanded
+    GROUP BY 1
+    """,
+)
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1 h windows sliding every 15 min (each event lands in 4 windows —
+    the oracle materializes that expansion explicitly)."""
+    s = runtime.events_stream(spark, sf_dir)
+    agg = (
+        s.groupBy(F.window("ts", "1 hour", "15 minutes"))
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.date_format(F.col("window.start"), _TS_FMT).alias("win_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    return runtime.run_to_memory(agg, "complete")
+
+
+@query(
+    "stream_session",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, ts, value,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), islands AS (
+        SELECT user_id, ts, value,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        FROM marked
+    )
+    SELECT user_id,
+           STRFTIME(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           STRFTIME(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM islands
+    GROUP BY user_id, sess
+    """,
+)
+def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessions per user, 30 min gap — the generalization of the
+    reference's 1 s idle-timeout message framing (main.go:272,283,289-292).
+    session_window end = last event + gap, which the gaps-and-islands oracle
+    reproduces as MAX(ts) + 30 min."""
+    s = runtime.events_stream(spark, sf_dir)
+    agg = (
+        s.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            "user_id",
+            F.date_format(F.col("session_window.start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_start"),
+            F.date_format(F.col("session_window.end"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    return runtime.run_to_memory(agg, "complete")
+
+
+@query("stream_watermark_late")  # rows-only: drop semantics are engine-specific
+def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-data drop under a watermark, demonstrated deterministically:
+    the replay is [first 25 days] → [sentinel far in the future] → [late
+    remainder]. After the sentinel batch the watermark has advanced past
+    every real window, so the final file's rows are dropped as too late.
+    Append mode emits only finalized (watermark-passed) windows."""
+    e = table(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-25 00:00:00").cast("timestamp")
+    early = e.where(F.col("ts") < cutoff)
+    late = e.where(F.col("ts") >= cutoff)
+    sentinel = e.limit(1).select(
+        F.lit(10**6).alias("event_id"),
+        F.lit("2024-06-01 00:00:00").cast("timestamp").alias("ts"),
+        F.lit(-1).cast("long").alias("user_id"),
+        F.lit("sentinel").alias("event_type"),
+        F.lit(0.0).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+
+    src = tempfile.mkdtemp(prefix="late_replay_")
+    import time as _t
+
+    now = _t.time()
+    for i, part in enumerate([early, sentinel, late]):
+        d = tempfile.mkdtemp(prefix=f"late{i}_")
+        part.coalesce(1).write.mode("overwrite").parquet(d)
+        f = next(p for p in os.listdir(d) if p.endswith(".parquet"))
+        dst = os.path.join(src, f"part-{i:04d}.parquet")
+        os.rename(os.path.join(d, f), dst)
+        os.utime(dst, (now + i, now + i))
+
+    s = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    agg = (
+        s.withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", "1 day"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.date_format(F.col("window.start"), _TS_FMT).alias("win_start"),
+            "n_events",
+        )
+    )
+    out = runtime.run_to_memory(agg, "append")
+    # the sentinel's own window is never finalized (stream ends first); the
+    # result is exactly the early-file windows — late-file rows are absent
+    return out.where(F.col("win_start") < "2024-05-01")
+
+
+@query(
+    "stream_dedup",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dropDuplicates on (user_id, event_type): state holds seen
+    keys; only each key's first arrival is emitted. Output is the key set
+    (which row survives is arrival-order-dependent, the key set is not).
+    Prod note: dropDuplicatesWithinWatermark bounds the state for unbounded
+    key domains like event_id."""
+    s = runtime.events_stream(spark, sf_dir)
+    dedup = s.select("user_id", "event_type").dropDuplicates(["user_id", "event_type"])
+    return runtime.run_to_memory(dedup, "append")
+
+
+@query(
+    "stream_stateful_count",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_stateful_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R15: running per-user counters (the reference's atomic
+    totalConnections/processedRequests/totalBytesProcessed, keyed by user).
+    State lives in the streaming aggregation across all four replay batches;
+    complete mode exposes the final counter values, matching the batch
+    aggregate exactly."""
+    s = runtime.events_stream(spark, sf_dir)
+    agg = s.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+    return runtime.run_to_memory(agg, "complete")
+
+
+@query("stream_metrics_observe")  # rows-only: listener-reported metrics
+def stream_metrics_observe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R15/R16 via df.observe(): accumulator-based metrics reported per
+    micro-batch through query progress — the Spark twin of the reference's
+    lock-free counters + 30 s reporter goroutine (main.go:145-170). Returns
+    one row per micro-batch with the observed count/sum, plus the final
+    totals row (emitted on termination ≈ main.go:159-167's final report)."""
+    s = runtime.events_stream(spark, sf_dir)
+    observed = s.observe(
+        "ingest_metrics",
+        F.count(F.lit(1)).alias("processed_requests"),
+        F.sum("value").alias("total_value"),
+    )
+    name = f"obs_{os.getpid()}"
+    import tempfile as _tf
+
+    q = (
+        observed.writeStream.format("noop")
+        .option("checkpointLocation", _tf.mkdtemp(prefix="ckpt_obs_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    batches = []
+    for p in q.recentProgress:
+        m = p["observedMetrics"].get("ingest_metrics") if p["observedMetrics"] else None
+        if m:
+            batches.append((int(p["batchId"]), int(m["processed_requests"]), float(m["total_value"])))
+    total = (
+        -1,
+        sum(b[1] for b in batches),
+        round(sum(b[2] for b in batches), 2),
+    )
+    rows = [(b[0], b[1], round(b[2], 2)) for b in batches] + [total]
+    return spark.createDataFrame(rows, "batch_id int, processed_requests long, total_value double")
+
+
+@query("stream_fanout_sinks")  # rows-only: filesystem round-trip
+def stream_fanout_sinks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R11-R14: one record fanned out to multiple sinks via foreachBatch
+    (Spark allows one sink per query — the reference writes each record to
+    console + JSON log + metrics + client ack, main.go:304-318). Each
+    micro-batch is written to a JSON-lines dir (R11) AND a date-partitioned
+    text dir (R14); the JSON read-back is returned."""
+    s = runtime.events_stream(spark, sf_dir)
+    json_dir = tempfile.mkdtemp(prefix="fan_json_")
+    text_dir = tempfile.mkdtemp(prefix="fan_text_")
+
+    def fan_out(batch_df: DataFrame, batch_id: int) -> None:
+        records = batch_df.select(
+            "event_id",
+            F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss").alias("timestamp"),
+            "user_id",
+            "event_type",
+            "value",
+            F.date_format("ts", "yyyy-MM-dd").alias("d"),
+        )
+        records.drop("d").write.mode("append").json(json_dir)
+        records.select(
+            "d", F.concat_ws("|", "event_id", "event_type").alias("value")
+        ).write.mode("append").partitionBy("d").text(text_dir)
+
+    q = (
+        s.writeStream.foreachBatch(fan_out)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_fan_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    back = spark.read.json(json_dir)
+    return back.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        "event_type",
+        F.col("user_id").cast("long").alias("user_id"),
+    )

@@ -1,0 +1,89 @@
+"""Structured Streaming runtime helpers.
+
+Maps the reference's operational dataflow onto Spark's streaming lifecycle:
+- R1 TCP source        → file source here (socket/Kafka/custom DataSource in
+                         prod); backpressure via maxFilesPerTrigger replaces
+                         the reference's admission semaphore (main.go:237-256)
+- R16 30 s metronome   → trigger(processingTime="30 seconds") in prod;
+                         trigger(availableNow=True) for deterministic replay
+- R21 graceful drain   → checkpointLocation + query.stop(); a restarted query
+                         resumes from the checkpoint offsets
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+import tempfile
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_ingestor_web_app_spark.io import table
+
+_counter = itertools.count()
+
+# The reference reports metrics every 30 seconds (main.go:147); use this
+# trigger for continuous deployments.
+PROD_TRIGGER = {"processingTime": "30 seconds"}
+
+
+def events_stream(spark: SparkSession, sf_dir: str, n_files: int = 4) -> DataFrame:
+    """A real file-source stream replaying the events fixture.
+
+    The batch events table is re-written into ``n_files`` ts-ordered parquet
+    chunks in a temp dir (never touching the fixtures) so the file source
+    sees a multi-batch replay with maxFilesPerTrigger=1 — micro-batch
+    boundaries advance the watermark exactly like arriving data would.
+    """
+    src_dir = write_replay_files(spark, sf_dir, n_files)
+    batch = table(spark, sf_dir, "events")
+    return (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+
+
+def write_replay_files(spark: SparkSession, sf_dir: str, n_files: int) -> str:
+    """Split events into n ts-ordered parquet files with increasing mtimes
+    (the file source processes oldest-mtime first)."""
+    out = tempfile.mkdtemp(prefix="events_replay_")
+    e = table(spark, sf_dir, "events").orderBy("ts", "event_id").collect()
+    chunk = (len(e) + n_files - 1) // n_files
+    schema = table(spark, sf_dir, "events").schema
+    now = time.time()
+    for i in range(n_files):
+        rows = e[i * chunk : (i + 1) * chunk]
+        if not rows:
+            continue
+        path_dir = tempfile.mkdtemp(prefix=f"chunk{i}_")
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(path_dir)
+        part = next(p for p in os.listdir(path_dir) if p.endswith(".parquet"))
+        dst = os.path.join(out, f"part-{i:04d}.parquet")
+        os.rename(os.path.join(path_dir, part), dst)
+        os.utime(dst, (now + i, now + i))
+    return out
+
+
+def run_to_memory(sdf: DataFrame, mode: str) -> DataFrame:
+    """Execute a streaming DataFrame to completion (availableNow) into an
+    in-memory sink and return the final result table.
+
+    In production the same writeStream targets parquet/Kafka with a real
+    checkpoint dir and PROD_TRIGGER; only the sink/trigger differ — the
+    logical plan (and therefore state semantics) is identical.
+    """
+    name = f"mem_{next(_counter)}_{os.getpid()}"
+    ckpt = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sdf.sparkSession.table(name)
