@@ -1,1 +1,211 @@
-"""(stub — filled in later this round)"""
+"""Deduplication operators (north-star LLM-pipeline additions).
+
+Four strategies, each the idiomatic Spark formulation of a published
+technique (PAPERS.md):
+- exact:    content-hash groupBy — one shuffle on the hash
+- near:     n-gram Jaccard via shingle explode + self-join (exact, quadratic
+            in the candidate set — the verifier of record)
+- minhash:  MinHash + LSH banding — the 100 TB path: candidates via
+            band-bucket join, exact Jaccard only on candidates
+- simhash:  64-bit sign-sum fingerprint; hamming-close pairs
+
+The fixture corpus (documents) has no byte-identical texts but does contain
+word-set duplicates (Jaccard 1.0), so near-dup thresholds are set at 0.9.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_ingestor_web_app_spark.io import table
+from data_ingestor_web_app_spark.registry import query
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT SHA256(text) AS content_hash,
+           MIN(doc_id) AS keep_doc_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY SHA256(text)
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: sha2-256 content hash, keep the lowest doc_id per hash.
+
+    Scale: the shuffle key is the 256-bit hash (uniform — no skew); map-side
+    partial aggregation means network volume is #distinct docs. 100 TB of
+    text dedups with one shuffle."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select(F.sha2(F.col("text").cast("binary"), 256).alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies"))
+    )
+
+
+# Shared doc→distinct-token-set prep (1-gram shingles; 3-grams are all-unique
+# on this synthetic corpus — measured max trigram Jaccard 0.03).
+_ORACLE_TOKSETS = """
+    toksets AS (
+        SELECT doc_id, LIST_DISTINCT(STRING_SPLIT(text, ' ')) AS toks
+        FROM documents
+    )
+"""
+
+
+@query(
+    "dedup_near",
+    oracle=f"""
+    WITH {_ORACLE_TOKSETS},
+    exploded AS (
+        SELECT doc_id, UNNEST(toks) AS tok FROM toksets
+    ),
+    pair_inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        FROM exploded a JOIN exploded b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT p.doc_a, p.doc_b,
+           ROUND(p.inter * 1.0 / (LEN(ta.toks) + LEN(tb.toks) - p.inter), 6) AS jaccard
+    FROM pair_inter p
+    JOIN toksets ta ON ta.doc_id = p.doc_a
+    JOIN toksets tb ON tb.doc_id = p.doc_b
+    WHERE p.inter * 1.0 / (LEN(ta.toks) + LEN(tb.toks) - p.inter) >= 0.9
+    """,
+)
+def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup detection: token-set Jaccard >= 0.9 via shingle explode +
+    self-equi-join on the shingle.
+
+    The join key is the token, so only docs SHARING a token ever pair up —
+    no cross join. This exact method is the verifier; the subquadratic
+    candidate generator is dedup_minhash_lsh below."""
+    d = table(spark, sf_dir, "documents")
+    toksets = d.select("doc_id", F.array_distinct(F.split("text", " ")).alias("toks"))
+    sizes = toksets.select("doc_id", F.size("toks").alias("n_toks"))
+    exploded = toksets.select("doc_id", F.explode("toks").alias("tok"))
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    pair_inter = (
+        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_toks").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_toks").alias("nb"))
+    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (
+        pair_inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .where(jac >= 0.9)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+_N_HASHES = 32
+_N_BANDS = 8  # 8 bands x 4 rows: P(candidate | j=0.9) ~ 1-(1-0.9^4)^8 ~ 0.96
+
+
+def _minhash_signatures(d: DataFrame) -> DataFrame:
+    """doc_id → 32 minhash values: min over tokens of xxhash64(token, seed).
+    xxhash64 is a deterministic JVM-side built-in — no Python, no UDF."""
+    toks = d.select("doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok"))
+    mins = [
+        F.min(F.xxhash64(F.col("tok"), F.lit(seed))).alias(f"mh{seed}")
+        for seed in range(_N_HASHES)
+    ]
+    return toks.groupBy("doc_id").agg(*mins)
+
+
+@query("dedup_minhash_lsh")  # rows-only: LSH candidate recall is engine-specific
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH banding — the 100 TB near-dup path.
+
+    Pipeline: token-set → 32 minhashes (xxhash64, seeds 0..31) → 8 bands of
+    4 → band-bucket self-join (only docs agreeing on a whole band pair up)
+    → exact Jaccard verification on candidates. Candidate generation is
+    linear in corpus size + bucket collisions; the quadratic explode-join of
+    dedup_near is never executed at scale.
+
+    Output: verified pairs with Jaccard >= 0.9 (a subset of dedup_near's
+    exact answer; tests assert recall >= 0.95 against it)."""
+    d = table(spark, sf_dir, "documents")
+    sig = _minhash_signatures(d)
+    rows_per_band = _N_HASHES // _N_BANDS
+    bands = sig.select(
+        "doc_id",
+        *[
+            F.xxhash64(*[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]).alias(f"band{b}")
+            for b in range(_N_BANDS)
+        ],
+    )
+    band_rows = bands.select(
+        "doc_id",
+        F.explode(
+            F.array(*[F.struct(F.lit(b).alias("band"), F.col(f"band{b}").alias("bucket")) for b in range(_N_BANDS)])
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    a = band_rows.alias("a")
+    b = band_rows.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    # exact verification on candidates only
+    toksets = d.select("doc_id", F.array_distinct(F.split("text", " ")).alias("toks"))
+    ta = toksets.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
+    tb = toksets.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    union = F.size("toks_a") + F.size("toks_b") - inter
+    jac = inter / union
+    return (
+        candidates.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .where(jac >= 0.9)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+@query("dedup_simhash")  # rows-only: xxhash64 bit arithmetic has no DuckDB twin
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash document fingerprints: per-token 64-bit hash, sign-sum each
+    bit over the token set, fingerprint = the 64 sign bits. Near-dups have
+    hamming-close fingerprints; here we emit (doc_id, simhash, band16) where
+    band16 buckets the top 16 bits — banding on fingerprint prefixes is the
+    scalable hamming-join strategy.
+
+    Pure DataFrame bit arithmetic (shiftright/bitwise AND, explode over bit
+    positions) — no UDF."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok"))
+    h = toks.select("doc_id", F.xxhash64("tok").alias("h"))
+    # one row per (doc, bit): contribution +1 if bit set else -1
+    bits = h.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("bit"),
+        "h",
+    ).select(
+        "doc_id",
+        "bit",
+        (F.expr("shiftright(h, bit) & 1") * 2 - 1).alias("contrib"),
+    )
+    bitsums = bits.groupBy("doc_id", "bit").agg(F.sum("contrib").alias("s"))
+    fp = bitsums.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(F.lit(0).cast("long"))
+        ).alias("simhash")
+    )
+    return fp.select(
+        "doc_id",
+        "simhash",
+        F.shiftright(F.col("simhash"), 48).alias("band16"),
+    )

@@ -1,1 +1,189 @@
-"""(stub — filled in later this round)"""
+"""Similarity search over the embeddings table (north-star addition).
+
+Brute-force cosine top-k is the correctness baseline (and the oracle);
+the LSH-bucketed variant is the 100 TB path — candidates come from a
+bucket join instead of an all-pairs product.
+
+All vector math is built-in higher-order functions on ArrayType
+(zip_with/aggregate/transform) — JVM-side, no Python, no UDF. Floats are
+cast to double BEFORE any arithmetic so Spark and DuckDB accumulate
+identically-typed sums; cosines are rounded to 6 places, far above the
+~1e-15 accumulation-order noise, so the hash check is stable.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_ingestor_web_app_spark.io import table
+from data_ingestor_web_app_spark.registry import query
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+_ORACLE_DOT = """
+    qe AS (SELECT vec_id AS qid, UNNEST(embedding) AS x,
+                  GENERATE_SUBSCRIPTS(embedding, 1) AS i
+           FROM embeddings WHERE vec_id < 20),
+    ae AS (SELECT vec_id AS nid, UNNEST(embedding) AS y,
+                  GENERATE_SUBSCRIPTS(embedding, 1) AS i
+           FROM embeddings),
+    norms AS (SELECT vec_id, SQRT(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm
+              FROM (SELECT vec_id, UNNEST(embedding) AS x FROM embeddings)
+              GROUP BY vec_id),
+    dots AS (SELECT qid, nid, SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot
+             FROM qe JOIN ae USING (i)
+             GROUP BY qid, nid)
+"""
+
+
+@query(
+    "sim_cosine_topk",
+    oracle=f"""
+    WITH {_ORACLE_DOT},
+    cos AS (
+        SELECT d.qid, d.nid,
+               ROUND(d.dot / (nq.nrm * nn.nrm), 6) AS cosine
+        FROM dots d
+        JOIN norms nq ON nq.vec_id = d.qid
+        JOIN norms nn ON nn.vec_id = d.nid
+        WHERE d.qid <> d.nid
+    )
+    SELECT qid, nid, cosine, rk FROM (
+        SELECT qid, nid, cosine,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rk
+        FROM cos) t
+    WHERE rk <= 5
+    """,
+)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 cosine neighbors for each query vector (vec_id < 20), brute
+    force: broadcast the (tiny) query side against the full corpus, dot/norm
+    via zip_with + aggregate, per-query top-k via window with the rn<=k
+    group-limit pushdown.
+
+    Scale: the corpus side never shuffles for the join (queries broadcast);
+    top-k is per-query state of size k. For corpus×corpus at 100 TB use
+    sim_ann_lsh."""
+    e = table(spark, sf_dir, "embeddings")
+    base = e.select("vec_id", "embedding", _norm(F.col("embedding")).alias("nrm"))
+    q = base.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    pairs = base.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+    cos = F.round(_dot(F.col("qe"), F.col("embedding")) / (F.col("qn") * F.col("nrm")), 6)
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("nid"))
+    return (
+        pairs.select("qid", F.col("vec_id").alias("nid"), cos.alias("cosine"))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 5)
+    )
+
+
+@query(
+    "sim_pairwise_threshold",
+    oracle="""
+    WITH sub AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
+    ue AS (SELECT vec_id, UNNEST(embedding) AS x,
+                  GENERATE_SUBSCRIPTS(embedding, 1) AS i FROM sub),
+    norms AS (SELECT vec_id, SQRT(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm
+              FROM ue GROUP BY vec_id),
+    dots AS (SELECT a.vec_id AS va, b.vec_id AS vb,
+                    SUM(CAST(a.x AS DOUBLE) * CAST(b.x AS DOUBLE)) AS dot
+             FROM ue a JOIN ue b ON a.i = b.i AND a.vec_id < b.vec_id
+             GROUP BY a.vec_id, b.vec_id)
+    SELECT d.va, d.vb, ROUND(d.dot / (na.nrm * nb.nrm), 6) AS cosine
+    FROM dots d
+    JOIN norms na ON na.vec_id = d.va
+    JOIN norms nb ON nb.vec_id = d.vb
+    WHERE d.dot / (na.nrm * nb.nrm) >= 0.3
+    """,
+)
+def sim_pairwise_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All pairs with cosine >= 0.3 within a bounded subset (vec_id < 200;
+    the corpus has no clusters — measured max pairwise cosine ~0.4, so 0.3
+    yields a small true-pair set). The subset bound is the point: explicit
+    all-pairs must always be bounded; unbounded pair generation goes through
+    LSH buckets (sim_ann_lsh)."""
+    e = table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
+    base = e.select("vec_id", "embedding", _norm(F.col("embedding")).alias("nrm"))
+    a = base.select(F.col("vec_id").alias("va"), F.col("embedding").alias("ea"), F.col("nrm").alias("na"))
+    b = base.select(F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"), F.col("nrm").alias("nb"))
+    raw_cos = _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    return (
+        a.join(F.broadcast(b), F.col("va") < F.col("vb"))
+        .withColumn("raw_cos", raw_cos)
+        .where(F.col("raw_cos") >= 0.3)
+        .select("va", "vb", F.round(F.col("raw_cos"), 6).alias("cosine"))
+    )
+
+
+_N_PLANES = 12  # 2^12 buckets; planes are a fixed seeded projection
+
+
+def _hyperplanes(dim: int = 64) -> list[list[float]]:
+    rng = np.random.default_rng(20240813)
+    return rng.standard_normal((_N_PLANES, dim)).tolist()
+
+
+@query("sim_ann_lsh")  # rows-only: ANN recall is strategy-specific
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate nearest neighbors via random-hyperplane LSH (SimHash for
+    cosine): bucket = sign-bits of 12 fixed projections; candidates share a
+    bucket; exact cosine re-rank inside the bucket; top-3 per query.
+
+    The projections are literal arrays in the plan (deterministic seed), the
+    bucket join replaces the all-pairs product: at 100 TB each bucket holds
+    ~N/4096 vectors and the join is bucket-co-partitioned. Multi-probe
+    (flipping low-margin bits) would raise recall; tests measure recall
+    against sim_cosine_topk instead of asserting exact equality."""
+    e = table(spark, sf_dir, "embeddings")
+    planes = _hyperplanes()
+    plane_cols = [
+        F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                F.array(*[F.lit(v) for v in plane]),
+                lambda x, y: x.cast("double") * y,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        for plane in planes
+    ]
+    bucket = None
+    for i, pc in enumerate(plane_cols):
+        bit = F.when(pc > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    base = e.select("vec_id", "embedding", bucket.alias("bucket"), _norm(F.col("embedding")).alias("nrm"))
+    a = base.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"), F.col("nrm").alias("qn"), "bucket")
+    b = base.select(F.col("vec_id").alias("nid"), F.col("embedding").alias("ne"), F.col("nrm").alias("nn"), "bucket")
+    cand = a.join(b, ["bucket"]).where(F.col("qid") != F.col("nid"))
+    cos = F.round(_dot(F.col("qe"), F.col("ne")) / (F.col("qn") * F.col("nn")), 6)
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("nid"))
+    return (
+        cand.select("qid", "nid", cos.alias("cosine"))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+    )

@@ -1,1 +1,231 @@
-"""(stub — filled in later this round)"""
+"""Text analysis operators (north-star LLM-pipeline additions): tokenize/
+wordcount, corpus stats, quality filtering, heuristic language ID, token
+counting, document fingerprinting.
+
+Everything is built-in string/array/higher-order functions — the whole
+text-analysis pass is one scan, no Python, no shuffle except the final
+small aggregations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_ingestor_web_app_spark.io import table
+from data_ingestor_web_app_spark.registry import query
+
+
+@query(
+    "text_tokenize_wordcount",
+    oracle="""
+    WITH toks AS (
+        SELECT LOWER(UNNEST(STRING_SPLIT(text, ' '))) AS token FROM documents
+    ), counts AS (
+        SELECT token, COUNT(*) AS n FROM toks WHERE token <> '' GROUP BY token
+    )
+    SELECT token, n, rk FROM (
+        SELECT token, n, ROW_NUMBER() OVER (ORDER BY n DESC, token) AS rk
+        FROM counts) t
+    WHERE rk <= 50
+    """,
+)
+def text_tokenize_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize + top-50 terms. explode → groupBy(token) (map-side partial
+    count, shuffle carries one row per distinct token) → global top-k."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split("text", " ")).alias("raw")).select(F.lower("raw").alias("token"))
+    counts = toks.where(F.col("token") != "").groupBy("token").agg(F.count("*").alias("n"))
+    w = Window.orderBy(F.col("n").desc(), F.col("token"))
+    return counts.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= 50)
+
+
+@query(
+    "text_stats",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           ROUND(AVG(n_chars), 4) AS avg_chars,
+           MIN(n_chars) AS min_chars,
+           MAX(n_chars) AS max_chars,
+           COUNT(DISTINCT source) AS n_sources,
+           SUM(CASE WHEN LENGTH(text) = n_chars THEN 1 ELSE 0 END) AS n_valid
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus stats + the n_chars=length(text) validation
+    invariant from FIXTURES.md."""
+    d = table(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum(F.when(F.length("text") == F.col("n_chars"), 1).otherwise(0)).alias("n_valid"),
+    )
+
+
+_STOPWORDS = ("the", "a", "of", "and", "to")
+
+
+@query(
+    "text_filter_quality",
+    oracle=f"""
+    WITH m AS (
+        SELECT doc_id, lang,
+               STRING_SPLIT(text, ' ') AS toks,
+               LENGTH(text) AS n_ch
+        FROM documents
+    ), metrics AS (
+        SELECT doc_id, lang,
+               LEN(toks) AS n_tokens,
+               CAST(LIST_SUM(LIST_TRANSFORM(toks, t -> LENGTH(t))) AS DOUBLE) / LEN(toks) AS avg_tok_len,
+               CAST(LEN(LIST_FILTER(toks, t -> t IN {_STOPWORDS})) AS DOUBLE) / LEN(toks) AS stop_ratio,
+               CAST(LEN(LIST_DISTINCT(toks)) AS DOUBLE) / LEN(toks) AS distinct_ratio
+        FROM m
+    )
+    SELECT doc_id, lang, n_tokens, avg_tok_len, stop_ratio, distinct_ratio
+    FROM metrics
+    WHERE n_tokens BETWEEN 20 AND 90
+      AND avg_tok_len BETWEEN 3.0 AND 8.0
+      AND stop_ratio < 0.4
+    """,
+)
+def text_filter_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality gates (the C4/Gopher-style filter stage): token
+    count band, average token length band, stopword-ratio cap. Emits the
+    metrics so downstream stages can re-threshold without recomputing.
+    Ratio arithmetic is int-division-free and identical in both engines."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks)
+    sum_len = F.aggregate(F.transform(toks, F.length), F.lit(0), lambda acc, x: acc + x)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*_STOPWORDS)))
+    metrics = d.select(
+        "doc_id",
+        "lang",
+        n_tokens.alias("n_tokens"),
+        (sum_len.cast("double") / n_tokens).alias("avg_tok_len"),
+        (n_stop.cast("double") / n_tokens).alias("stop_ratio"),
+        (F.size(F.array_distinct(toks)).cast("double") / n_tokens).alias("distinct_ratio"),
+    )
+    return metrics.where(
+        F.col("n_tokens").between(20, 90)
+        & F.col("avg_tok_len").between(3.0, 8.0)
+        & (F.col("stop_ratio") < 0.4)
+    )
+
+
+# tiny per-language marker sets for the heuristic scorer (the corpus itself
+# is synthetic word salad — the scorer demonstrates the operator shape)
+_LANG_MARKERS = {
+    "en": ("the", "a", "of", "fast", "slow"),
+    "de": ("der", "die", "und", "schnell", "daten"),
+    "es": ("el", "la", "de", "datos", "rapido"),
+    "fr": ("le", "la", "et", "vite", "donnees"),
+}
+
+
+def _marker_sql(lang: str) -> str:
+    return f"CAST(LEN(LIST_FILTER(toks, t -> t IN {_LANG_MARKERS[lang]})) AS DOUBLE) / LEN(toks)"
+
+
+@query(
+    "text_langid",
+    oracle=f"""
+    WITH m AS (SELECT doc_id, lang, STRING_SPLIT(LOWER(text), ' ') AS toks FROM documents),
+    scores AS (
+        SELECT doc_id, lang,
+               {_marker_sql('en')} AS score_en,
+               {_marker_sql('de')} AS score_de,
+               {_marker_sql('es')} AS score_es,
+               {_marker_sql('fr')} AS score_fr
+        FROM m
+    )
+    SELECT doc_id, lang AS labeled_lang, score_en, score_de, score_es, score_fr,
+           CASE WHEN score_en >= GREATEST(score_de, score_es, score_fr) THEN 'en'
+                WHEN score_de >= GREATEST(score_es, score_fr) THEN 'de'
+                WHEN score_es >= score_fr THEN 'es'
+                ELSE 'fr' END AS pred_lang
+    FROM scores
+    """,
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: stopword-marker hit-rate per language, argmax
+    with a fixed tie order (en>de>es>fr) so prediction is deterministic.
+    One scan, no shuffle; a real system swaps the marker sets for n-gram
+    profiles without changing the plan shape."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), " ")
+    m = d.select("doc_id", F.col("lang").alias("labeled_lang"), toks.alias("toks"))
+
+    def score(lang: str):
+        markers = _LANG_MARKERS[lang]
+        return (
+            F.size(F.filter(F.col("toks"), lambda t: t.isin(*markers))).cast("double")
+            / F.size(F.col("toks"))
+        ).alias(f"score_{lang}")
+
+    scored = m.select("doc_id", "labeled_lang", score("en"), score("de"), score("es"), score("fr"))
+    pred = (
+        F.when(F.col("score_en") >= F.greatest("score_de", "score_es", "score_fr"), "en")
+        .when(F.col("score_de") >= F.greatest("score_es", "score_fr"), "de")
+        .when(F.col("score_es") >= F.col("score_fr"), "es")
+        .otherwise("fr")
+    )
+    return scored.withColumn("pred_lang", pred)
+
+
+@query(
+    "text_token_count",
+    oracle="""
+    SELECT doc_id,
+           LEN(STRING_SPLIT(text, ' ')) AS n_ws_tokens,
+           LEN(REGEXP_EXTRACT_ALL(text, '[a-z]+')) AS n_word_tokens,
+           LEN(REGEXP_EXTRACT_ALL(text, '[a-z]{1,4}')) AS n_bpe_ish,
+           CAST(LENGTH(text) AS DOUBLE) / LEN(REGEXP_EXTRACT_ALL(text, '[a-z]+')) AS chars_per_token
+    FROM documents
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting three ways: whitespace split, regex word tokens, and a
+    BPE-ish bounded-piece regex ([a-z]{1,4} — greedy fixed-size chunks as a
+    stand-in for real BPE merges, same plan shape)."""
+    d = table(spark, sf_dir, "documents")
+    words = F.regexp_extract_all("text", F.lit("[a-z]+"), 0)
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_ws_tokens"),
+        F.size(words).alias("n_word_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit("[a-z]{1,4}"), 0)).alias("n_bpe_ish"),
+        (F.length("text").cast("double") / F.size(words)).alias("chars_per_token"),
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+    WITH t AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents)
+    SELECT doc_id,
+           MD5(text) AS content_md5,
+           MD5(ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(toks)), ' ')) AS bag_fingerprint,
+           MD5(ARRAY_TO_STRING(LIST_SLICE(toks, 1, 8), ' ')) AS prefix_fingerprint
+    FROM documents JOIN t USING (doc_id)
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprints: raw content hash, order-insensitive bag
+    fingerprint (sorted distinct tokens — catches reordered near-dups), and
+    a prefix fingerprint (first 8 tokens — catches common-prefix dups).
+    All md5-hex, lowercase in both engines."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.md5(F.col("text").cast("binary")).alias("content_md5"),
+        F.md5(F.array_join(F.sort_array(F.array_distinct(toks)), " ").cast("binary")).alias("bag_fingerprint"),
+        F.md5(F.array_join(F.slice(toks, 1, 8), " ").cast("binary")).alias("prefix_fingerprint"),
+    )
