@@ -105,8 +105,11 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_N_HASHES = 32
-_N_BANDS = 8  # 8 bands x 4 rows: P(candidate | j=0.9) ~ 1-(1-0.9^4)^8 ~ 0.96
+# 8 bands x 8 rows: LSH threshold (1/b)^(1/r) ~ 0.77, P(candidate | j=0.9)
+# = 1-(1-0.9^8)^8 ~ 0.99. Wider bands matter on dup-dense corpora: 4-row
+# bands (threshold 0.59) made ~half this synthetic corpus collide per band.
+_N_HASHES = 64
+_N_BANDS = 8
 
 
 def _minhash_signatures(d: DataFrame) -> DataFrame:
@@ -133,7 +136,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: verified pairs with Jaccard >= 0.9 (a subset of dedup_near's
     exact answer; tests assert recall >= 0.95 against it)."""
     d = table(spark, sf_dir, "documents")
-    sig = _minhash_signatures(d)
+    # materialize signatures once — the band self-join would otherwise
+    # recompute the whole explode+64-agg pipeline for BOTH sides (at scale:
+    # write signatures to a table, same reasoning)
+    sig = _minhash_signatures(d).cache()
     rows_per_band = _N_HASHES // _N_BANDS
     bands = sig.select(
         "doc_id",
@@ -161,7 +167,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     # exact verification on candidates only
-    toksets = d.select("doc_id", F.array_distinct(F.split("text", " ")).alias("toks"))
+    toksets = d.select("doc_id", F.array_distinct(F.split("text", " ")).alias("toks")).cache()
     ta = toksets.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
     tb = toksets.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
     inter = F.size(F.array_intersect("toks_a", "toks_b"))

@@ -227,7 +227,7 @@ def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c.c_custkey, s.s_suppkey, c.c_acctbal, s.s_acctbal
     FROM customer c JOIN supplier s
       ON c.c_nationkey = s.s_nationkey
-     AND ABS(c.c_acctbal - s.s_acctbal) < 100
+     AND ABS(c.c_acctbal - s.s_acctbal) < 500
     """,
 )
 def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -239,7 +239,7 @@ def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.join(
         s,
         (c.c_nationkey == s.s_nationkey)
-        & (F.abs(c.c_acctbal - s.s_acctbal) < 100),
+        & (F.abs(c.c_acctbal - s.s_acctbal) < 500),
     ).select("c_custkey", "s_suppkey", "c_acctbal", "s_acctbal")
 
 

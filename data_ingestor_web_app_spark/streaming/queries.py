@@ -137,28 +137,36 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("stream_watermark_late")  # rows-only: drop semantics are engine-specific
 def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Late-data drop under a watermark, demonstrated deterministically:
-    the replay is [first 25 days] → [sentinel far in the future] → [late
-    remainder]. After the sentinel batch the watermark has advanced past
-    every real window, so the final file's rows are dropped as too late.
-    Append mode emits only finalized (watermark-passed) windows."""
+    the replay is [first 25 days] → [sentinel far in the future] →
+    [second sentinel] → [late remainder].
+
+    Eviction uses the watermark computed at batch PLANNING time (one batch
+    of lag — measured on Spark 4.1), so the second sentinel batch is what
+    actually evicts+emits every real window; the late file then arrives
+    after eviction and its rows are dropped (numRowsDroppedByWatermark).
+    Append mode emits only finalized windows, so the result is exactly the
+    early-file windows."""
     e = table(spark, sf_dir, "events")
     cutoff = F.lit("2024-01-25 00:00:00").cast("timestamp")
     early = e.where(F.col("ts") < cutoff)
     late = e.where(F.col("ts") >= cutoff)
-    sentinel = e.limit(1).select(
-        F.lit(10**6).alias("event_id"),
-        F.lit("2024-06-01 00:00:00").cast("timestamp").alias("ts"),
-        F.lit(-1).cast("long").alias("user_id"),
-        F.lit("sentinel").alias("event_type"),
-        F.lit(0.0).alias("value"),
-        F.lit("{}").alias("props"),
-    )
+
+    def sentinel(ts: str) -> DataFrame:
+        return e.limit(1).select(
+            F.lit(10**6).alias("event_id"),
+            F.lit(ts).cast("timestamp").alias("ts"),
+            F.lit(-1).cast("long").alias("user_id"),
+            F.lit("sentinel").alias("event_type"),
+            F.lit(0.0).alias("value"),
+            F.lit("{}").alias("props"),
+        )
 
     src = tempfile.mkdtemp(prefix="late_replay_")
     import time as _t
 
     now = _t.time()
-    for i, part in enumerate([early, sentinel, late]):
+    parts = [early, sentinel("2024-06-01 00:00:00"), sentinel("2024-06-02 00:00:00"), late]
+    for i, part in enumerate(parts):
         d = tempfile.mkdtemp(prefix=f"late{i}_")
         part.coalesce(1).write.mode("overwrite").parquet(d)
         f = next(p for p in os.listdir(d) if p.endswith(".parquet"))

@@ -1,0 +1,74 @@
+"""Golden tests for the ingest replication path (reference R4-R10, R6 %q).
+
+Fixed fake payload bytes → exact expected LogEntry rows, mirroring the
+reference's manual smoke test `echo 'test data' | nc $SERVER_IP 80`
+(/root/reference/deploy.sh:174).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_ingestor_web_app_spark.ingest.records import _go_quote, go_quote_udf
+
+
+def test_go_quote_goldens():
+    # goldens match Go: fmt.Sprintf("%q", s)
+    assert _go_quote("test data") == '"test data"'
+    assert _go_quote('say "hi"') == '"say \\"hi\\""'
+    assert _go_quote("a\\b") == '"a\\\\b"'
+    assert _go_quote("tab\there\nnewline") == '"tab\\there\\nnewline"'
+    assert _go_quote("\x00\x1f") == '"\\x00\\x1f"'
+    assert _go_quote("héllo") == '"héllo"'  # printable unicode stays literal
+    assert _go_quote("") == '""'
+
+
+def test_go_quote_udf_matches_python(spark):
+    vals = ["test data", 'q"uote', "a\tb", "", "ünïcode"]
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    out = {r["s"]: r["q"] for r in df.select("s", go_quote_udf("s").alias("q")).collect()}
+    for v in vals:
+        assert out[v] == _go_quote(v)
+
+
+def test_ingest_record_golden(spark):
+    """One fixed payload through the R4-R10 projection (hex lowercase per
+    main.go:112 %x, byte count per main.go:107, empty-drop per 298-301)."""
+    df = spark.createDataFrame([("test data",), ("",)], "payload_str string")
+    rec = (
+        df.select(F.col("payload_str").cast("binary").alias("payload"), "payload_str")
+        .where(F.octet_length("payload") > 0)
+        .select(
+            F.octet_length("payload").alias("byte_count"),
+            F.lower(F.hex("payload")).alias("hex"),
+        )
+        .collect()
+    )
+    assert len(rec) == 1  # empty payload dropped
+    assert rec[0]["byte_count"] == 9
+    assert rec[0]["hex"] == "746573742064617461"  # `echo -n 'test data' | xxd -p`
+
+
+def test_hex_roundtrip_properties(spark):
+    """Property: decode(unhex(lower(hex(x)))) == x for printable strings
+    (SURVEY §5 property-based checks; inputs batched into one DataFrame)."""
+    from hypothesis import given, settings, strategies as st
+
+    samples: list[str] = []
+
+    @settings(max_examples=50, deadline=None)
+    @given(st.text(alphabet=st.characters(codec="utf-8"), min_size=0, max_size=40))
+    def collect(s):
+        samples.append(s)
+
+    collect()
+    df = spark.createDataFrame([(s,) for s in samples if s], "s string")
+    bad = (
+        df.select(
+            "s",
+            F.decode(F.unhex(F.lower(F.hex(F.encode(F.col("s"), "UTF-8")))), "UTF-8").alias("rt"),
+        )
+        .where(F.col("s") != F.col("rt"))
+        .count()
+    )
+    assert bad == 0

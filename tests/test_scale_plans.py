@@ -1,0 +1,70 @@
+"""Plan-regression tests: the 100 TB posture, enforced.
+
+These assert on the physical plan, not the result — a regression that
+silently turns a broadcast join into a shuffle, or un-pushes a parquet
+filter, fails here even though results stay correct.
+"""
+
+from __future__ import annotations
+
+from data_ingestor_web_app_spark.registry import QUERIES
+
+
+def plan(spark, name, sf):
+    df = QUERIES[name](spark, sf)
+    df.collect()  # materialize THIS plan so AQE finalizes it (count() would re-plan)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_scan_pruned_pushes_filters_and_prunes_columns(spark, sf_small):
+    p = plan(spark, "scan_pruned", sf_small)
+    assert "PushedFilters: [" in p
+    assert "l_shipdate" in p.split("PushedFilters")[1].split("]")[0]
+    # projection pruning: the parquet ReadSchema must not include unused cols
+    read_schema = p.split("ReadSchema")[1]
+    assert "l_comment" not in read_schema
+    assert "l_returnflag" not in read_schema
+
+
+def test_broadcast_joins_are_broadcast(spark, sf_small):
+    for name in ["join_broadcast", "join_multiway", "sim_cosine_topk"]:
+        p = plan(spark, name, sf_small)
+        assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p, name
+    # the dimension join must NOT shuffle both sides
+    p = plan(spark, "join_broadcast", sf_small)
+    assert "SortMergeJoin" not in p
+
+
+def test_limit_topk_uses_heap_not_global_sort(spark, sf_small):
+    p = plan(spark, "limit_topk", sf_small)
+    assert "TakeOrderedAndProject" in p
+
+
+def test_topk_per_group_pushes_window_limit(spark, sf_small):
+    p = plan(spark, "topk_per_group", sf_small)
+    assert "WindowGroupLimit" in p  # rn <= 3 evaluated during the sort, not after
+
+
+def test_aggregates_are_partial_final(spark, sf_small):
+    p = plan(spark, "agg_groupby", sf_small)
+    assert p.count("HashAggregate") >= 2  # map-side partial + final
+
+
+def test_dedup_near_has_no_cartesian(spark, sf_small):
+    p = plan(spark, "dedup_near", sf_small)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_whole_stage_codegen_in_hot_paths(spark, sf_small):
+    # codegen stages print as "*(n) Operator" in the physical plan string
+    for name in ["project_compute", "agg_groupby", "fn_math"]:
+        p = plan(spark, name, sf_small)
+        assert "*(1)" in p, f"{name}: no whole-stage-codegen span in plan"
+
+
+def test_events_reader_converts_ns_timestamps(spark, sf_small):
+    from data_ingestor_web_app_spark.io import table
+
+    schema = dict(table(spark, sf_small, "events").dtypes)
+    assert schema["ts"] == "timestamp"

@@ -1,0 +1,83 @@
+"""Streaming semantics: stream results equal batch equivalents; watermark
+drops late data; sessions split on the gap; observe() reports totals."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_ingestor_web_app_spark.io import table
+from data_ingestor_web_app_spark.registry import QUERIES
+
+
+def test_stateful_count_equals_batch(spark, sf_small):
+    stream_out = {
+        r["user_id"]: (r["n_events"], r["sum_value"])
+        for r in QUERIES["stream_stateful_count"](spark, sf_small).collect()
+    }
+    batch = {
+        r["user_id"]: (r["n"], r["s"])
+        for r in table(spark, sf_small, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("s"))
+        .collect()
+    }
+    assert stream_out == batch
+
+
+def test_watermark_drops_late_rows(spark, sf_small):
+    out = QUERIES["stream_watermark_late"](spark, sf_small).collect()
+    got_days = {r["win_start"] for r in out}
+    total = sum(r["n_events"] for r in out)
+    all_rows = table(spark, sf_small, "events").count()
+    early_rows = (
+        table(spark, sf_small, "events")
+        .where(F.col("ts") < F.lit("2024-01-25 00:00:00").cast("timestamp"))
+        .count()
+    )
+    assert total == early_rows  # late file fully dropped
+    assert total < all_rows
+    assert all(d < "2024-02-01" for d in got_days)
+
+
+def test_session_window_gap_semantics(spark, sf_small):
+    """Sessions from the streaming query match a hand-computed split."""
+    sessions = QUERIES["stream_session"](spark, sf_small).collect()
+    # reconstruct expected session count per user from the batch table
+    e = table(spark, sf_small, "events").select("user_id", "ts", "event_id").collect()
+    per_user: dict[int, list] = {}
+    for r in sorted(e, key=lambda r: (r["user_id"], r["ts"], r["event_id"])):
+        per_user.setdefault(r["user_id"], []).append(r["ts"])
+    expected_counts = {}
+    for uid, times in per_user.items():
+        n = 1
+        for prev, cur in zip(times, times[1:]):
+            if (cur - prev).total_seconds() > 1800:
+                n += 1
+        expected_counts[uid] = n
+    got_counts: dict[int, int] = {}
+    for r in sessions:
+        got_counts[r["user_id"]] = got_counts.get(r["user_id"], 0) + 1
+    assert got_counts == expected_counts
+
+
+def test_observe_metrics_totals(spark, sf_small):
+    rows = QUERIES["stream_metrics_observe"](spark, sf_small).collect()
+    final = [r for r in rows if r["batch_id"] == -1]
+    assert len(final) == 1
+    n_events = table(spark, sf_small, "events").count()
+    assert final[0]["processed_requests"] == n_events
+    batches = [r for r in rows if r["batch_id"] >= 0]
+    assert len(batches) >= 2  # the replay really was multi-batch
+    assert sum(r["processed_requests"] for r in batches) == n_events
+
+
+def test_stream_dedup_key_set(spark, sf_small):
+    keys = {
+        (r["user_id"], r["event_type"])
+        for r in QUERIES["stream_dedup"](spark, sf_small).collect()
+    }
+    exact = {
+        (r["user_id"], r["event_type"])
+        for r in table(spark, sf_small, "events").select("user_id", "event_type").distinct().collect()
+    }
+    assert keys == exact
