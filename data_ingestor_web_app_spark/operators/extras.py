@@ -1,0 +1,239 @@
+"""Extended relational surface: pivot/unpivot, subqueries, skew-mitigation
+(salted two-phase aggregation), nth_value windows, bitwise ops, sampling,
+max_by/min_by. Registered alongside SURVEY §2B as engine completeness ops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_ingestor_web_app_spark.io import register_views, table
+from data_ingestor_web_app_spark.registry import query
+
+
+@query(
+    "agg_pivot",
+    oracle="""
+    SELECT o_orderpriority,
+           ROUND(SUM(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS spend_f,
+           ROUND(SUM(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS spend_o,
+           ROUND(SUM(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS spend_p
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long→wide): explicit value list so the plan is a single
+    Expand+aggregate pass — never an unbounded distinct-values scan."""
+    o = table(spark, sf_dir, "orders")
+    p = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.round(F.sum("o_totalprice"), 2))
+    )
+    return p.select(
+        "o_orderpriority",
+        F.col("F").alias("spend_f"),
+        F.col("O").alias("spend_o"),
+        F.col("P").alias("spend_p"),
+    )
+
+
+@query(
+    "agg_unpivot",
+    oracle="""
+    WITH wide AS (
+        SELECT l_returnflag,
+               ROUND(SUM(l_quantity), 2) AS sum_qty,
+               ROUND(SUM(l_extendedprice), 2) AS sum_price,
+               ROUND(SUM(l_discount), 2) AS sum_disc
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS val FROM wide
+    UNION ALL
+    SELECT l_returnflag, 'sum_price', sum_price FROM wide
+    UNION ALL
+    SELECT l_returnflag, 'sum_disc', sum_disc FROM wide
+    """,
+)
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt (wide→long) over an aggregated frame."""
+    li = table(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.round(F.sum("l_discount"), 2).alias("sum_disc"),
+    )
+    return wide.unpivot(
+        ids=["l_returnflag"],
+        values=["sum_qty", "sum_price", "sum_disc"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    )
+
+
+_SCALAR_SUBQ = """
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice > 1.5 * (SELECT AVG(o_totalprice) FROM orders)
+"""
+
+
+@query("subquery_scalar", oracle=_SCALAR_SUBQ)
+def subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery through the spark.sql entry point
+    (Catalyst rewrites it to a broadcast of the single aggregate row)."""
+    register_views(spark, sf_dir)
+    return spark.sql(_SCALAR_SUBQ)
+
+
+_CORR_SUBQ = """
+    SELECT c.c_custkey, c.c_acctbal
+    FROM customer c
+    WHERE c.c_acctbal > (SELECT AVG(o.o_totalprice) / 100
+                         FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+@query("subquery_correlated", oracle=_CORR_SUBQ)
+def subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery — Catalyst de-correlates it into an
+    aggregate + left join, so execution is a plain co-partitioned join, not
+    a per-row re-execution."""
+    register_views(spark, sf_dir)
+    return spark.sql(_CORR_SUBQ)
+
+
+@query(
+    "agg_salted_twophase",
+    oracle="""
+    SELECT l_returnflag, COUNT(*) AS n_rows, ROUND(SUM(l_quantity), 2) AS sum_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_salted_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew mitigation: two-phase salted aggregation over an extremely
+    low-cardinality key (3 return flags — the worst case for a naive
+    groupBy, where 3 reducers get everything).
+
+    Phase 1 groups by (key, salt16) spreading each hot key over 16 tasks;
+    phase 2 re-aggregates the 48 partials. Result is provably identical to
+    the direct groupBy (count/sum are decomposable) — which is exactly what
+    the oracle checks. At 100 TB this pattern (or AQE skew handling) is how
+    hot keys stop being stragglers."""
+    li = table(spark, sf_dir, "lineitem")
+    salt = F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(16)).alias("salt")
+    phase1 = (
+        li.select("l_returnflag", "l_quantity", salt)
+        .groupBy("l_returnflag", "salt")
+        .agg(F.count("*").alias("pc"), F.sum("l_quantity").alias("ps"))
+    )
+    return phase1.groupBy("l_returnflag").agg(
+        F.sum("pc").alias("n_rows"),
+        F.round(F.sum("ps"), 2).alias("sum_qty"),
+    )
+
+
+@query(
+    "win_nth_value",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           FIRST_VALUE(o_orderkey) OVER w AS first_key,
+           NTH_VALUE(o_orderkey, 2) OVER w AS second_key,
+           LAST_VALUE(o_orderkey)  OVER w_full AS last_key
+    FROM orders
+    WINDOW
+      w AS (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE), o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      w_full AS (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE), o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def win_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/nth/last value windows; last_value gets the full-partition frame
+    (the default frame would return the current row)."""
+    o = table(spark, sf_dir, "orders").withColumn("od", F.col("o_orderdate").cast("date"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("od", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_full = (
+        Window.partitionBy("o_custkey")
+        .orderBy("od", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.first("o_orderkey").over(w).alias("first_key"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_key"),
+        F.last("o_orderkey").over(w_full).alias("last_key"),
+    )
+
+
+@query(
+    "fn_bitwise",
+    oracle="""
+    SELECT l_orderkey,
+           l_orderkey & 255 AS low_byte,
+           l_orderkey | 16 AS with_bit4,
+           XOR(l_orderkey, l_partkey) AS keys_xor,
+           ~l_orderkey AS inverted,
+           l_orderkey << 2 AS shl2,
+           l_orderkey >> 1 AS shr1,
+           BIT_COUNT(l_orderkey) AS popcount
+    FROM lineitem
+    WHERE l_linenumber = 1
+    """,
+)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise family (&, |, xor, ~, shifts, popcount). Note DuckDB's ^ is
+    POWER — the oracle must use XOR()."""
+    li = table(spark, sf_dir, "lineitem").where(F.col("l_linenumber") == 1)
+    return li.select(
+        "l_orderkey",
+        F.expr("l_orderkey & 255").alias("low_byte"),
+        F.expr("l_orderkey | 16").alias("with_bit4"),
+        F.expr("l_orderkey ^ l_partkey").alias("keys_xor"),
+        F.expr("~l_orderkey").alias("inverted"),
+        F.expr("shiftleft(l_orderkey, 2)").alias("shl2"),
+        F.expr("shiftright(l_orderkey, 1)").alias("shr1"),
+        F.bit_count("l_orderkey").alias("popcount"),
+    )
+
+
+@query("scan_sample")  # rows-only: sampling algorithms differ per engine
+def scan_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bernoulli sample with a fixed seed — deterministic within Spark
+    (same data, same partitioning) but not across engines, hence rows-only.
+    The scale story: sampling happens inside the scan (no materialization
+    of the unsampled stream)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.sample(fraction=0.1, seed=42).select("l_orderkey", "l_linenumber")
+
+
+@query(
+    "agg_minmax_by",
+    oracle="""
+    SELECT o_custkey,
+           ARG_MAX(o_orderkey, o_totalprice + o_orderkey * 0.000000001) AS biggest_order,
+           ARG_MIN(o_orderkey, o_totalprice + o_orderkey * 0.000000001) AS smallest_order,
+           ROUND(MAX(o_totalprice), 2) AS max_spend
+    FROM orders
+    GROUP BY o_custkey
+    """,
+)
+def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by/min_by (argmax aggregation) with a deterministic tie-break on
+    the ordering value (DuckDB arg_max can't order by struct)."""
+    o = table(spark, sf_dir, "orders")
+    # epsilon tie-break: prices have 2-decimal granularity (gaps >= 0.01),
+    # orderkey*1e-9 perturbation is identical in both engines and far below it
+    ordv = F.col("o_totalprice") + F.col("o_orderkey") * F.lit(1e-9)
+    return o.groupBy("o_custkey").agg(
+        F.max_by("o_orderkey", ordv).alias("biggest_order"),
+        F.min_by("o_orderkey", ordv).alias("smallest_order"),
+        F.round(F.max("o_totalprice"), 2).alias("max_spend"),
+    )

@@ -273,16 +273,17 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events")
     o = table(spark, sf_dir, "orders")
     joined = e.join(o, (o.o_custkey == e.user_id) & (o.o_orderdate <= e.ts))
-    w = Window.partitionBy("event_id").orderBy(
-        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    # latest-at-or-before via max(struct(date, key)): partially aggregatable
+    # (map-side combine shrinks the shuffle to one row per event), unlike a
+    # row_number window which must sort every joined row. Struct ordering =
+    # (o_orderdate DESC-equivalent max, then o_orderkey) — same tie-break as
+    # the oracle's ROW_NUMBER.
+    best = joined.groupBy("event_id", "user_id").agg(
+        F.max(F.struct("o_orderdate", "o_orderkey")).alias("best")
     )
-    return (
-        joined.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select(
-            "event_id",
-            "user_id",
-            F.col("o_orderkey").alias("asof_orderkey"),
-            F.date_format("o_orderdate", "yyyy-MM-dd").alias("asof_orderdate"),
-        )
+    return best.select(
+        "event_id",
+        "user_id",
+        F.col("best.o_orderkey").alias("asof_orderkey"),
+        F.date_format("best.o_orderdate", "yyyy-MM-dd").alias("asof_orderdate"),
     )

@@ -32,6 +32,8 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.aggregates",
     "data_ingestor_web_app_spark.operators.windows",
     "data_ingestor_web_app_spark.operators.setops",
+    "data_ingestor_web_app_spark.operators.extras",
+    "data_ingestor_web_app_spark.sources.payload_source",
     "data_ingestor_web_app_spark.functions.scalar",
     "data_ingestor_web_app_spark.ingest.records",
     "data_ingestor_web_app_spark.streaming.queries",

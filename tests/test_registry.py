@@ -35,6 +35,10 @@ EXPECTED = {
     "stream_dedup", "stream_stateful_count", "stream_metrics_observe", "stream_fanout_sinks",
     # UDF/UDAF/UDTF
     "udf_quote", "udaf_gap_sessions", "udtf_explode_payload",
+    # extended relational surface
+    "agg_pivot", "agg_unpivot", "subquery_scalar", "subquery_correlated",
+    "agg_salted_twophase", "win_nth_value", "fn_bitwise", "scan_sample",
+    "agg_minmax_by", "source_python_datasource",
     # LLM pipeline
     "dedup_exact", "dedup_near", "dedup_minhash_lsh", "dedup_simhash",
     "sim_cosine_topk", "sim_pairwise_threshold", "sim_ann_lsh",
