@@ -17,6 +17,8 @@ from __future__ import annotations
 import os
 import tempfile
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -305,3 +307,57 @@ def stream_fanout_sinks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.col("user_id").cast("long").alias("user_id"),
     )
+
+
+@query(
+    "stream_static_join",
+    oracle="""
+    SELECT e.event_id, e.user_id, c.c_name, c.c_mktsegment, e.event_type
+    FROM events e JOIN customer c ON c.c_custkey = e.user_id
+    WHERE e.event_type IN ('purchase', 'signup')
+    """,
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the event stream enriched against the static
+    customer dimension (events.user_id shares the custkey domain). The
+    static side is broadcast per micro-batch — the canonical streaming
+    enrichment pattern; no stream-side state is needed."""
+    s = runtime.events_stream(spark, sf_dir)
+    c = F.broadcast(table(spark, sf_dir, "customer"))
+    joined = (
+        s.where(F.col("event_type").isin("purchase", "signup"))
+        .join(c, F.col("c_custkey") == F.col("user_id"))
+        .select("event_id", "user_id", "c_name", "c_mktsegment", "event_type")
+    )
+    return runtime.run_to_memory(joined, "append")
+
+
+@query("stream_custom_state")  # rows-only: per-batch emissions are replay-shaped
+def stream_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: a per-user
+    running counter held in explicit GroupState across micro-batches (the
+    reference's ServerMetrics atomics, main.go:60-65, as user-keyed state).
+    Emits (user_id, n_events_so_far, batch_seq) each time the user appears
+    in a batch — the update-mode counter feed. Tests assert the final
+    emission per user equals the batch count."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    s = runtime.events_stream(spark, sf_dir).select("user_id", "event_id")
+
+    def update_counts(key, pdf_iter, state: GroupState):
+        (user_id,) = key
+        n, seq = state.get if state.exists else (0, 0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+        seq += 1
+        state.update((n, seq))
+        yield pd.DataFrame({"user_id": [user_id], "n_events_so_far": [n], "batch_seq": [seq]})
+
+    counted = s.groupBy("user_id").applyInPandasWithState(
+        update_counts,
+        outputStructType="user_id long, n_events_so_far long, batch_seq int",
+        stateStructType="n long, seq int",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return runtime.run_to_memory(counted, "update")

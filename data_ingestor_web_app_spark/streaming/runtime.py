@@ -48,18 +48,25 @@ def events_stream(spark: SparkSession, sf_dir: str, n_files: int = 4) -> DataFra
 
 def write_replay_files(spark: SparkSession, sf_dir: str, n_files: int) -> str:
     """Split events into n ts-ordered parquet files with increasing mtimes
-    (the file source processes oldest-mtime first)."""
+    (the file source processes oldest-mtime first).
+
+    Chunk boundaries come from exact ts quantiles (approxQuantile with
+    relativeError=0); each chunk is filtered and written executor-side —
+    no row ever crosses to the driver (SURVEY §7 rule 10)."""
     out = tempfile.mkdtemp(prefix="events_replay_")
-    e = table(spark, sf_dir, "events").orderBy("ts", "event_id").collect()
-    chunk = (len(e) + n_files - 1) // n_files
-    schema = table(spark, sf_dir, "events").schema
+    e = table(spark, sf_dir, "events").withColumn("_ts_us", F.unix_micros("ts"))
+    probs = [i / n_files for i in range(1, n_files)]
+    cuts = e.approxQuantile("_ts_us", probs, 0.0)
+    bounds = [None, *cuts, None]
     now = time.time()
     for i in range(n_files):
-        rows = e[i * chunk : (i + 1) * chunk]
-        if not rows:
-            continue
+        chunk = e
+        if bounds[i] is not None:
+            chunk = chunk.where(F.col("_ts_us") > bounds[i])
+        if bounds[i + 1] is not None:
+            chunk = chunk.where(F.col("_ts_us") <= bounds[i + 1])
         path_dir = tempfile.mkdtemp(prefix=f"chunk{i}_")
-        spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(path_dir)
+        chunk.drop("_ts_us").coalesce(1).write.mode("overwrite").parquet(path_dir)
         part = next(p for p in os.listdir(path_dir) if p.endswith(".parquet"))
         dst = os.path.join(out, f"part-{i:04d}.parquet")
         os.rename(os.path.join(path_dir, part), dst)

@@ -32,7 +32,7 @@ EXPECTED = {
     "fn_string", "fn_hex", "fn_date", "fn_math", "fn_cond", "fn_array", "fn_map_json",
     # streaming
     "stream_tumbling", "stream_sliding", "stream_session", "stream_watermark_late",
-    "stream_dedup", "stream_stateful_count", "stream_metrics_observe", "stream_fanout_sinks",
+    "stream_dedup", "stream_stateful_count", "stream_metrics_observe", "stream_fanout_sinks", "stream_static_join", "stream_custom_state",
     # UDF/UDAF/UDTF
     "udf_quote", "udaf_gap_sessions", "udtf_explode_payload",
     # extended relational surface
@@ -74,7 +74,7 @@ FAST = sorted(EXPECTED - {
     # streaming + sink queries spin up real streams / temp dirs — covered in
     # test_streaming.py and the oracle harness
     "stream_tumbling", "stream_sliding", "stream_session", "stream_watermark_late",
-    "stream_dedup", "stream_stateful_count", "stream_metrics_observe", "stream_fanout_sinks",
+    "stream_dedup", "stream_stateful_count", "stream_metrics_observe", "stream_fanout_sinks", "stream_static_join", "stream_custom_state",
     "sink_json_lines", "sink_partitioned_text",
 })
 

@@ -81,3 +81,20 @@ def test_stream_dedup_key_set(spark, sf_small):
         for r in table(spark, sf_small, "events").select("user_id", "event_type").distinct().collect()
     }
     assert keys == exact
+
+
+def test_custom_state_final_counts(spark, sf_small):
+    rows = QUERIES["stream_custom_state"](spark, sf_small).collect()
+    # last emission per user (highest batch_seq) must equal the batch count
+    final: dict[int, int] = {}
+    seq: dict[int, int] = {}
+    for r in rows:
+        if r["batch_seq"] >= seq.get(r["user_id"], -1):
+            seq[r["user_id"]] = r["batch_seq"]
+            final[r["user_id"]] = r["n_events_so_far"]
+    batch = {
+        r["user_id"]: r["n"]
+        for r in table(spark, sf_small, "events").groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert final == batch
+    assert max(seq.values()) >= 2  # state really crossed micro-batches
