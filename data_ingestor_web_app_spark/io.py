@@ -25,7 +25,18 @@ TABLES = [
 ]
 
 
+def ensure_session_confs(spark: SparkSession) -> None:
+    """Make any SparkSession (incl. the driver's own, which doesn't use our
+    session factory) safe for the fixtures and oracle parity:
+    - nanosAsLong: events.parquet is TIMESTAMP(NANOS), unreadable otherwise;
+    - UTC session timezone: date_format/unix_timestamp parity with DuckDB
+      (reference writes UTC RFC3339, main.go:102)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    ensure_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         # ts is TIMESTAMP(NANOS) in the file; with nanosAsLong it arrives as

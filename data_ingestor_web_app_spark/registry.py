@@ -33,6 +33,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.windows",
     "data_ingestor_web_app_spark.operators.setops",
     "data_ingestor_web_app_spark.operators.extras",
+    "data_ingestor_web_app_spark.operators.tpch",
     "data_ingestor_web_app_spark.sources.payload_source",
     "data_ingestor_web_app_spark.functions.scalar",
     "data_ingestor_web_app_spark.ingest.records",

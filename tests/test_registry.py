@@ -39,6 +39,8 @@ EXPECTED = {
     "agg_pivot", "agg_unpivot", "subquery_scalar", "subquery_correlated",
     "agg_salted_twophase", "win_nth_value", "fn_bitwise", "scan_sample",
     "agg_minmax_by", "source_python_datasource",
+    # TPC-H classics + parquet sink
+    "tpch_q3", "tpch_q6", "tpch_q10", "tpch_q18", "sink_parquet_pruned",
     # LLM pipeline
     "dedup_exact", "dedup_near", "dedup_minhash_lsh", "dedup_simhash",
     "sim_cosine_topk", "sim_pairwise_threshold", "sim_ann_lsh",
