@@ -187,3 +187,64 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= 3)
     )
+
+
+@query(
+    "sim_ivf_assign",
+    oracle="""
+    WITH ue AS (
+        SELECT vec_id, label, UNNEST(embedding) AS x,
+               GENERATE_SUBSCRIPTS(embedding, 1) AS i
+        FROM embeddings
+    ),
+    centroids AS (
+        SELECT label AS c_label, i, AVG(CAST(x AS DOUBLE)) AS cx
+        FROM ue GROUP BY label, i
+    ),
+    dots AS (
+        SELECT u.vec_id, u.label, c.c_label,
+               SUM(CAST(u.x AS DOUBLE) * c.cx) AS dot
+        FROM ue u JOIN centroids c ON u.i = c.i
+        GROUP BY u.vec_id, u.label, c.c_label
+    ),
+    ranked AS (
+        SELECT vec_id, label, c_label, ROUND(dot, 6) AS dot_r,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY ROUND(dot, 6) DESC, c_label) AS rk
+        FROM dots
+    )
+    SELECT vec_id, label, c_label AS assigned_centroid, dot_r AS centroid_dot
+    FROM ranked WHERE rk = 1
+    """,
+)
+def sim_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse quantization — the build step of inverted-file ANN:
+    K centroids (per-label means — a stand-in for k-means iterations, same
+    plan shape), every vector assigned to its best centroid by dot product.
+
+    Scale shape: centroids are tiny (K x dim) and BROADCAST; the corpus is
+    scanned once; assignment is a per-row argmax — no shuffle of the
+    corpus. The posting lists (`assigned_centroid`) then bucket the ANN
+    search to corpus/K candidates per query."""
+    e = table(spark, sf_dir, "embeddings")
+    # centroids: explode to (label, i, x), mean per (label, i), re-assemble
+    ue = e.select("label", F.posexplode(F.col("embedding")).alias("i", "x"))
+    cent = (
+        ue.groupBy("label", "i")
+        .agg(F.avg(F.col("x").cast("double")).alias("cx"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "cx"))).alias("pairs"))
+        .select(
+            F.col("label").alias("c_label"),
+            F.transform("pairs", lambda p: p.cx).alias("centroid"),
+        )
+    )
+    pairs = e.crossJoin(F.broadcast(cent))
+    dot = F.round(_dot(F.col("embedding"), F.col("centroid")), 6)
+    w = Window.partitionBy("vec_id").orderBy(F.col("centroid_dot").desc(), F.col("c_label"))
+    return (
+        pairs.select("vec_id", "label", "c_label", dot.alias("centroid_dot"))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("vec_id", "label", F.col("c_label").alias("assigned_centroid"), "centroid_dot")
+    )

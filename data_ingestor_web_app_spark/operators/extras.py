@@ -237,3 +237,46 @@ def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min_by("o_orderkey", ordv).alias("smallest_order"),
         F.round(F.max("o_totalprice"), 2).alias("max_spend"),
     )
+
+
+@query(
+    "join_bucketed_colocated",
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey,
+           COUNT(*) AS n_lines,
+           ROUND(SUM(l.l_quantity), 2) AS sum_qty
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderkey, o.o_custkey
+    """,
+)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join: both fact tables written bucketBy(16,
+    orderkey); the subsequent join reads bucket-aligned files and needs NO
+    exchange on either side (tests assert the plan has no Exchange before
+    the join). This is the 100 TB pattern for repeated fact-fact joins —
+    pay the shuffle once at write time, never again at read time.
+
+    Result is hash-identical to the plain shuffle join (oracle)."""
+    import tempfile
+
+    warehouse = tempfile.mkdtemp(prefix="bucketed_wh_")
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    spark.sql("CREATE DATABASE IF NOT EXISTS bucketdemo")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    for name, df, key in [("b_orders", o, "o_orderkey"), ("b_lineitem", li, "l_orderkey")]:
+        spark.sql(f"DROP TABLE IF EXISTS bucketdemo.{name}")
+        (
+            df.write.mode("overwrite")
+            .option("path", f"{warehouse}/{name}")
+            .bucketBy(16, key)
+            .sortBy(key)
+            .saveAsTable(f"bucketdemo.{name}")
+        )
+    bo = spark.table("bucketdemo.b_orders")
+    bl = spark.table("bucketdemo.b_lineitem")
+    return (
+        bo.join(bl, bo.o_orderkey == bl.l_orderkey)
+        .groupBy("o_orderkey", "o_custkey")
+        .agg(F.count("*").alias("n_lines"), F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+    )

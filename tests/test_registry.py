@@ -41,6 +41,7 @@ EXPECTED = {
     "agg_minmax_by", "source_python_datasource",
     # TPC-H classics + parquet sink
     "tpch_q3", "tpch_q6", "tpch_q10", "tpch_q18", "sink_parquet_pruned",
+    "sim_ivf_assign", "join_bucketed_colocated",
     # LLM pipeline
     "dedup_exact", "dedup_near", "dedup_minhash_lsh", "dedup_simhash",
     "sim_cosine_topk", "sim_pairwise_threshold", "sim_ann_lsh",

@@ -68,3 +68,11 @@ def test_events_reader_converts_ns_timestamps(spark, sf_small):
 
     schema = dict(table(spark, sf_small, "events").dtypes)
     assert schema["ts"] == "timestamp"
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_small):
+    p = plan(spark, "join_bucketed_colocated", sf_small)
+    # the join's children must read bucketed files directly - no shuffle
+    assert "Exchange hashpartitioning(o_orderkey" not in p
+    assert "Exchange hashpartitioning(l_orderkey" not in p
+    assert "SelectedBucketsCount" in p or "Bucketed: true" in p
