@@ -33,6 +33,11 @@ def ensure_session_confs(spark: SparkSession) -> None:
       (reference writes UTC RFC3339, main.go:102)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # right-size shuffle/state parallelism for the local-mode fixture scale;
+    # a driver-default 200 partitions makes every stateful streaming batch
+    # pay ~6x task overhead for no gain at these volumes
+    if int(spark.conf.get("spark.sql.shuffle.partitions", "200")) > 64:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
