@@ -247,3 +247,29 @@ def fn_map_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get_json_object("props", "$.k").isNotNull().alias("has_k"),
         (k % 10).alias("k_mod10"),
     )
+
+
+@query(
+    "fn_try",
+    oracle="""
+    SELECT doc_id,
+           TRY_CAST(SPLIT_PART(text, ' ', 1) AS BIGINT) AS first_tok_as_int,
+           TRY_CAST(lang AS DOUBLE) AS lang_as_double,
+           CAST(n_chars AS DOUBLE) / NULLIF(n_chars - n_chars, 0) IS NULL AS div0_is_null,
+           COALESCE(TRY_CAST(SUBSTR(text, 1, 1) AS BIGINT), -1) AS first_char_int_or_neg1
+    FROM documents
+    """,
+)
+def fn_try(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe conversion family (the dirty-data reality of ingest
+    pipelines): try_cast returns NULL instead of throwing on bad input;
+    try_divide nulls out division by zero. The reference just logs and
+    drops bad payloads (main.go:298-301) — this is the declarative twin."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.try_to_number(F.split_part(F.col("text"), F.lit(" "), F.lit(1)), F.lit("999999")).cast("long").alias("first_tok_as_int"),
+        F.col("lang").try_cast("double").alias("lang_as_double"),
+        F.try_divide(F.col("n_chars").cast("double"), F.col("n_chars") - F.col("n_chars")).isNull().alias("div0_is_null"),
+        F.coalesce(F.substring("text", 1, 1).try_cast("long"), F.lit(-1)).alias("first_char_int_or_neg1"),
+    )

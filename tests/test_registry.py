@@ -29,7 +29,7 @@ EXPECTED = {
     "sort_multi", "limit_topk", "set_union_all", "set_union_distinct", "set_intersect",
     "set_except",
     # scalar functions
-    "fn_string", "fn_hex", "fn_date", "fn_math", "fn_cond", "fn_array", "fn_map_json",
+    "fn_string", "fn_hex", "fn_date", "fn_math", "fn_cond", "fn_array", "fn_map_json", "fn_try",
     # streaming
     "stream_tumbling", "stream_sliding", "stream_session", "stream_watermark_late",
     "stream_dedup", "stream_stateful_count", "stream_metrics_observe", "stream_fanout_sinks", "stream_static_join", "stream_custom_state",
