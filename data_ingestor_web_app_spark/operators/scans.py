@@ -91,3 +91,42 @@ def sink_partitioned_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.split_part(F.col("value"), F.lit("|"), F.lit(1)).cast("long").alias("o_orderkey"),
         F.split_part(F.col("value"), F.lit("|"), F.lit(2)).alias("o_orderstatus"),
     )
+
+
+@query(
+    "source_csv_roundtrip",
+    oracle="""
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+    FROM customer
+    """,
+)
+def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV source: write customer as headered CSV, read back with an
+    EXPLICIT schema (never inferSchema at scale — it double-scans), values
+    hash-match the parquet original. Doubles survive via round-trip text
+    repr (Spark writes shortest-repr, reads back bit-identical)."""
+    c = table(spark, sf_dir, "customer")
+    out = os.path.join(tempfile.mkdtemp(prefix="src_csv_"), "customer")
+    c.write.mode("overwrite").option("header", True).csv(out)
+    back = (
+        spark.read.schema("c_custkey long, c_name string, c_nationkey int, c_acctbal double, c_mktsegment string")
+        .option("header", True)
+        .csv(out)
+    )
+    return back
+
+
+@query(
+    "source_orc_roundtrip",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+    FROM orders
+    """,
+)
+def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source/sink round-trip (the other columnar format Spark ships
+    natively) — same pushdown/pruning machinery as parquet."""
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    out = os.path.join(tempfile.mkdtemp(prefix="src_orc_"), "orders")
+    o.write.mode("overwrite").orc(out)
+    return spark.read.orc(out)

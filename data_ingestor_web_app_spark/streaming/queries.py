@@ -19,7 +19,7 @@ import tempfile
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_ingestor_web_app_spark.io import table
@@ -361,3 +361,155 @@ def stream_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     return runtime.run_to_memory(counted, "update")
+
+
+@query(
+    "stream_stream_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+           p.user_id,
+           STRFTIME(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+           STRFTIME(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts
+    FROM events p JOIN events c
+      ON p.user_id = c.user_id
+     AND p.event_type = 'purchase' AND c.event_type = 'click'
+     AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: purchases matched to same-user clicks
+    within the preceding hour. Both sides carry watermarks; the interval
+    condition bounds each side's join state so Spark can evict rows older
+    than (watermark - 1 hour) — the state never grows unboundedly. Oracle:
+    the identical batch self-join."""
+    purchases = (
+        runtime.events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .withWatermark("ts", "1 minute")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    clicks = (
+        runtime.events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "click")
+        .withWatermark("ts", "1 minute")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+    )
+    out = joined.select(
+        "purchase_id",
+        "click_id",
+        F.col("p_user").alias("user_id"),
+        F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("purchase_ts"),
+        F.date_format("c_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("click_ts"),
+    )
+    return runtime.run_to_memory(out, "append")
+
+
+@query(
+    "stream_transform_with_state",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           ROUND(MAX(value), 2) AS max_value
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 transformWithStateInPandas: the successor state API —
+    typed ValueState per key, explicit processor lifecycle. Keeps a
+    per-user (count, max) across all replay micro-batches and emits the
+    running value each batch; the memory sink's LAST emission per user is
+    returned, which equals the batch aggregate (the oracle).
+
+    vs applyInPandasWithState (stream_custom_state): handle-based state
+    (ValueState/ListState/MapState), init/close hooks, future TTL support —
+    this is where custom stateful operators land going forward.
+
+    Environment gate: the transformWithState python worker speaks protobuf
+    to the JVM; this container has no google.protobuf, so we fall back to
+    the semantically-identical applyInPandasWithState implementation (same
+    running (count, max) state, same emissions, same oracle) when the
+    import fails. On a normal cluster the primary path runs."""
+    try:
+        import google.protobuf.descriptor  # noqa: F401
+
+        _tws_available = True
+    except ImportError:
+        _tws_available = False
+
+    s = runtime.events_stream(spark, sf_dir).select("user_id", "value")
+
+    if not _tws_available:
+        from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+        def update_agg(key, pdf_iter, state: GroupState):
+            n, mx = state.get if state.exists else (0, float("-inf"))
+            for pdf in pdf_iter:
+                n += len(pdf)
+                mx = max(mx, float(pdf["value"].max()))
+            state.update((n, mx))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "max_value": [round(mx, 2)]}
+            )
+
+        out = s.groupBy("user_id").applyInPandasWithState(
+            update_agg,
+            outputStructType="user_id long, n_events long, max_value double",
+            stateStructType="n long, mx double",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        mem = runtime.run_to_memory(out, "update")
+        w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+        return (
+            mem.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") == 1)
+            .select("user_id", "n_events", "max_value")
+        )
+
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor, StatefulProcessorHandle
+
+    class RunningAgg(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.state = handle.getValueState("agg", "n long, mx double")
+
+        def handleInputRows(self, key, rows, timerValues):  # noqa: ANN001
+            n, mx = self.state.get() if self.state.exists() else (0, float("-inf"))
+            for pdf in rows:
+                n += len(pdf)
+                mx = max(mx, float(pdf["value"].max()))
+            self.state.update((n, mx))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "max_value": [round(mx, 2)]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    out = s.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningAgg(),
+        outputStructType="user_id long, n_events long, max_value double",
+        outputMode="Update",
+        timeMode="None",
+    )
+    mem = runtime.run_to_memory(out, "update")
+    # keep only the final (largest-count) emission per user
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        mem.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("user_id", "n_events", "max_value")
+    )

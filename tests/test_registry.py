@@ -32,7 +32,7 @@ EXPECTED = {
     "fn_string", "fn_hex", "fn_date", "fn_math", "fn_cond", "fn_array", "fn_map_json", "fn_try",
     # streaming
     "stream_tumbling", "stream_sliding", "stream_session", "stream_watermark_late",
-    "stream_dedup", "stream_stateful_count", "stream_metrics_observe", "stream_fanout_sinks", "stream_static_join", "stream_custom_state",
+    "stream_dedup", "stream_stateful_count", "stream_metrics_observe", "stream_fanout_sinks", "stream_static_join", "stream_custom_state", "stream_stream_join", "stream_transform_with_state",
     # UDF/UDAF/UDTF
     "udf_quote", "udaf_gap_sessions", "udtf_explode_payload",
     # extended relational surface
@@ -41,6 +41,7 @@ EXPECTED = {
     "agg_minmax_by", "source_python_datasource",
     # TPC-H classics + parquet sink
     "tpch_q3", "tpch_q6", "tpch_q10", "tpch_q18", "sink_parquet_pruned",
+    "source_csv_roundtrip", "source_orc_roundtrip",
     "sim_ivf_assign", "join_bucketed_colocated",
     # LLM pipeline
     "dedup_exact", "dedup_near", "dedup_minhash_lsh", "dedup_simhash",
@@ -77,7 +78,7 @@ FAST = sorted(EXPECTED - {
     # streaming + sink queries spin up real streams / temp dirs — covered in
     # test_streaming.py and the oracle harness
     "stream_tumbling", "stream_sliding", "stream_session", "stream_watermark_late",
-    "stream_dedup", "stream_stateful_count", "stream_metrics_observe", "stream_fanout_sinks", "stream_static_join", "stream_custom_state",
+    "stream_dedup", "stream_stateful_count", "stream_metrics_observe", "stream_fanout_sinks", "stream_static_join", "stream_custom_state", "stream_stream_join", "stream_transform_with_state",
     "sink_json_lines", "sink_partitioned_text",
 })
 
