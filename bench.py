@@ -39,8 +39,15 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "sim_cosine_topk",
+    "sim_ivf_assign",
     "text_tokenize_wordcount",
     "text_filter_quality",
+    "tpch_q3",
+    "tpch_q6",
+    "tpch_q10",
+    "tpch_q18",
+    "agg_salted_twophase",
+    "subquery_correlated",
 ]
 
 

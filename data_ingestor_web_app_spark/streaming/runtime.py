@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from data_ingestor_web_app_spark.io import table
 
 _counter = itertools.count()
+_replay_cache: dict[tuple[str, int], str] = {}
 
 # The reference reports metrics every 30 seconds (main.go:147); use this
 # trigger for continuous deployments.
@@ -52,7 +53,12 @@ def write_replay_files(spark: SparkSession, sf_dir: str, n_files: int) -> str:
 
     Chunk boundaries come from exact ts quantiles (approxQuantile with
     relativeError=0); each chunk is filtered and written executor-side —
-    no row ever crosses to the driver (SURVEY §7 rule 10)."""
+    no row ever crosses to the driver (SURVEY §7 rule 10). The replay dir
+    is memoized per (sf_dir, n_files) — the fixture is immutable, so every
+    streaming query in a process shares one materialization."""
+    key = (sf_dir, n_files)
+    if key in _replay_cache:
+        return _replay_cache[key]
     out = tempfile.mkdtemp(prefix="events_replay_")
     e = table(spark, sf_dir, "events").withColumn("_ts_us", F.unix_micros("ts"))
     probs = [i / n_files for i in range(1, n_files)]
@@ -71,6 +77,7 @@ def write_replay_files(spark: SparkSession, sf_dir: str, n_files: int) -> str:
         dst = os.path.join(out, f"part-{i:04d}.parquet")
         os.rename(os.path.join(path_dir, part), dst)
         os.utime(dst, (now + i, now + i))
+    _replay_cache[key] = out
     return out
 
 
