@@ -9,6 +9,11 @@ All vector math is built-in higher-order functions on ArrayType
 cast to double BEFORE any arithmetic so Spark and DuckDB accumulate
 identically-typed sums; cosines are rounded to 6 places, far above the
 ~1e-15 accumulation-order noise, so the hash check is stable.
+
+Grounding (PAPERS.md): distributed top-k similarity structure follows the
+filter-and-refine designs of "Incremental ... Top-K Similarity Search"
+(EDBT 2020) and REPOSE (ICDE 2021) — cheap bucketing/candidate pruning
+first (LSH buckets / IVF posting lists), exact re-rank on survivors.
 """
 
 from __future__ import annotations

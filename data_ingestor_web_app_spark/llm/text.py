@@ -5,6 +5,11 @@ counting, document fingerprinting.
 Everything is built-in string/array/higher-order functions — the whole
 text-analysis pass is one scan, no Python, no shuffle except the final
 small aggregations.
+
+Grounding (PAPERS.md): the scan-once lexicon-scoring shape (tokenize →
+marker-set hit-rates → per-doc score) follows the distributed lexicon
+pipeline of "Large Scale Sentiment Analysis on Twitter with Spark"
+(EDBT 2016), with language markers in place of sentiment lexica.
 """
 
 from __future__ import annotations

@@ -10,6 +10,10 @@ drops and observed metrics are rows-only, as declared in SURVEY §2B.
 Reference parity: R3 gap framing → session_window; R15 running counters →
 streaming groupBy in update mode; R16 30 s reporting → trigger cadence
 (runtime.PROD_TRIGGER); R11-R14 sink fan-out → stream_fanout_sinks.
+
+Model grounding: the incremental-plan/watermark/state semantics follow
+"Structured Streaming: A Declarative API for Real-Time Applications in
+Apache Spark" (SIGMOD 2018) — see PAPERS.md.
 """
 
 from __future__ import annotations
