@@ -280,3 +280,27 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderkey", "o_custkey")
         .agg(F.count("*").alias("n_lines"), F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
     )
+
+
+@query("agg_hll_sketch")  # rows-only: sketch estimates are engine-specific
+def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketches (Apache DataSketches, built into Spark 4):
+    per-group hll_sketch_agg, then hll_union_agg across groups — the
+    100 TB distinct-count pattern, where per-partition/per-day sketches are
+    unioned instead of re-scanning raw data. Tests assert the union
+    estimate is within 5% of the exact distinct."""
+    e = table(spark, sf_dir, "events")
+    per_type = e.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+    per_type_est = per_type.select(
+        "event_type",
+        F.hll_sketch_estimate("sk").alias("approx_users"),
+        "exact_users",
+    )
+    total = per_type.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
+        F.lit(None).cast("long").alias("exact_users"),
+    ).select(F.lit("__all__").alias("event_type"), "approx_users", "exact_users")
+    return per_type_est.unionByName(total)

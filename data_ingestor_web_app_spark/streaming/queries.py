@@ -517,3 +517,38 @@ def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") == 1)
         .select("user_id", "n_events", "max_value")
     )
+
+
+@query(
+    "stream_sink_parquet_exactly_once",
+    oracle="""
+    SELECT event_id, user_id, event_type, value FROM events
+    """,
+)
+def stream_sink_parquet_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production sink path: stream → parquet files with a checkpoint. The
+    file sink's transaction log (_spark_metadata) + checkpoint offsets give
+    exactly-once: re-running the SAME query over the SAME checkpoint adds
+    nothing (no new offsets). We run it twice to prove idempotence, then
+    read back — the result hash-matches the source table exactly (every
+    event delivered once, none duplicated)."""
+    out = tempfile.mkdtemp(prefix="eo_sink_") + "/events"
+    ckpt = tempfile.mkdtemp(prefix="eo_ckpt_")
+
+    def run_once() -> None:
+        s = runtime.events_stream(spark, sf_dir).select(
+            "event_id", "user_id", "event_type", "value"
+        )
+        q = (
+            s.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    run_once()  # idempotent: same checkpoint, no new input -> no new files
+    return spark.read.parquet(out)

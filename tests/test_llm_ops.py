@@ -95,3 +95,14 @@ def test_mm_decode_stub_shape(spark, sf_small):
     # deterministic: same input → same features
     again = QUERIES["mm_decode_stub"](spark, sf_small).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_hll_sketch_within_5pct(spark, sf_small):
+    rows = {r["event_type"]: r for r in QUERIES["agg_hll_sketch"](spark, sf_small).collect()}
+    for et, r in rows.items():
+        if et == "__all__":
+            continue
+        assert abs(r["approx_users"] - r["exact_users"]) <= max(1, 0.05 * r["exact_users"])
+    from data_ingestor_web_app_spark.io import table
+    exact_all = table(spark, sf_small, "events").select("user_id").distinct().count()
+    assert abs(rows["__all__"]["approx_users"] - exact_all) <= max(1, 0.05 * exact_all)

@@ -33,12 +33,13 @@ EXPECTED = {
     # streaming
     "stream_tumbling", "stream_sliding", "stream_session", "stream_watermark_late",
     "stream_dedup", "stream_stateful_count", "stream_metrics_observe", "stream_fanout_sinks", "stream_static_join", "stream_custom_state", "stream_stream_join", "stream_transform_with_state",
+    "stream_sink_parquet_exactly_once",
     # UDF/UDAF/UDTF
     "udf_quote", "udaf_gap_sessions", "udtf_explode_payload",
     # extended relational surface
     "agg_pivot", "agg_unpivot", "subquery_scalar", "subquery_correlated",
     "agg_salted_twophase", "win_nth_value", "fn_bitwise", "scan_sample",
-    "agg_minmax_by", "source_python_datasource",
+    "agg_minmax_by", "source_python_datasource", "agg_hll_sketch",
     # TPC-H classics + parquet sink
     "tpch_q3", "tpch_q6", "tpch_q10", "tpch_q18", "sink_parquet_pruned",
     "source_csv_roundtrip", "source_orc_roundtrip",
@@ -79,6 +80,7 @@ FAST = sorted(EXPECTED - {
     # test_streaming.py and the oracle harness
     "stream_tumbling", "stream_sliding", "stream_session", "stream_watermark_late",
     "stream_dedup", "stream_stateful_count", "stream_metrics_observe", "stream_fanout_sinks", "stream_static_join", "stream_custom_state", "stream_stream_join", "stream_transform_with_state",
+    "stream_sink_parquet_exactly_once",
     "sink_json_lines", "sink_partitioned_text",
 })
 
