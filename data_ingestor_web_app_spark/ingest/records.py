@@ -219,3 +219,43 @@ def udaf_gap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         sessions,
         schema="user_id long, session_start string, session_end string, n_events long",
     )
+
+
+@query(
+    "udtf_python_tokens",
+    oracle="""
+    WITH t AS (SELECT doc_id, LIST_SLICE(STRING_SPLIT(text, ' '), 1, 5) AS toks
+               FROM documents)
+    SELECT doc_id,
+           GENERATE_SUBSCRIPTS(toks, 1) AS pos,
+           UNNEST(toks) AS token,
+           LENGTH(UNNEST(toks)) AS token_len
+    FROM t
+    """,
+)
+def udtf_python_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A REAL Spark 4 Python UDTF (@udtf class, lateral join): one payload
+    row → up to 5 (pos, token, len) rows. Complements udtf_explode_payload
+    (JVM generator): same semantics, but the table function body is
+    arbitrary Python — the escape hatch for parsers that built-in
+    expressions can't express. Arrow-batched; keep real parsing logic in
+    these only when posexplode/from_json can't do the job."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, token string, token_len int")
+    class TokenizeHead:
+        def eval(self, text: str):  # noqa: ANN001
+            if text is None:
+                return
+            for i, tok in enumerate(text.split(" ")[:5], start=1):
+                yield i, tok, len(tok)
+
+    spark.udtf.register("tokenize_head", TokenizeHead)
+    d = table(spark, sf_dir, "documents")
+    d.select("doc_id", "text").createOrReplaceTempView("__udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.pos, t.token, t.token_len
+        FROM __udtf_docs d, LATERAL tokenize_head(d.text) t
+        """
+    )

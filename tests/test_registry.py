@@ -35,7 +35,7 @@ EXPECTED = {
     "stream_dedup", "stream_stateful_count", "stream_metrics_observe", "stream_fanout_sinks", "stream_static_join", "stream_custom_state", "stream_stream_join", "stream_transform_with_state",
     "stream_sink_parquet_exactly_once",
     # UDF/UDAF/UDTF
-    "udf_quote", "udaf_gap_sessions", "udtf_explode_payload",
+    "udf_quote", "udaf_gap_sessions", "udtf_explode_payload", "udtf_python_tokens",
     # extended relational surface
     "agg_pivot", "agg_unpivot", "subquery_scalar", "subquery_correlated",
     "agg_salted_twophase", "win_nth_value", "fn_bitwise", "scan_sample",
