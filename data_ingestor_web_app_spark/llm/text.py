@@ -234,3 +234,52 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.array_join(F.sort_array(F.array_distinct(toks)), " ").cast("binary")).alias("bag_fingerprint"),
         F.md5(F.array_join(F.slice(toks, 1, 8), " ").cast("binary")).alias("prefix_fingerprint"),
     )
+
+
+@query(
+    "text_chunk_overlap",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, STRING_SPLIT(text, ' ') AS toks,
+               LEN(STRING_SPLIT(text, ' ')) AS n
+        FROM documents
+    ),
+    starts AS (
+        SELECT doc_id, toks, n, UNNEST(RANGE(1, GREATEST(n - 4, 1) + 1, 15)) AS start
+        FROM t
+    )
+    SELECT doc_id,
+           CAST((start - 1) / 15 + 1 AS BIGINT) AS chunk_idx,
+           ARRAY_TO_STRING(LIST_SLICE(toks, start, LEAST(start + 19, n)), ' ') AS chunk_text,
+           LEAST(start + 19, n) - start + 1 AS chunk_tokens
+    FROM starts
+    """,
+)
+def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data chunking: split each document into 20-token chunks
+    with stride 15 (5-token overlap) — the tokenize→chunk stage of an LLM
+    corpus pipeline. Chunk starts are generated with F.sequence + explode
+    (one scan, rows multiply ~n/stride); tail chunks shorter than 5 tokens
+    are suppressed by capping the start range (start <= n-4), matching the
+    oracle's RANGE bound. All JVM-side; the chunk text itself is a slice
+    join, no Python."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    base = d.select("doc_id", toks.alias("toks"), F.size(toks).alias("n"))
+    starts = base.select(
+        "doc_id",
+        "toks",
+        "n",
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.col("n") - 4, F.lit(1)), F.lit(15))
+        ).alias("start"),
+    )
+    chunk_end = F.least(F.col("start") + 19, F.col("n"))
+    return starts.select(
+        "doc_id",
+        ((F.col("start") - 1) / 15 + 1).cast("long").alias("chunk_idx"),
+        F.array_join(
+            F.slice("toks", F.col("start"), chunk_end - F.col("start") + 1), " "
+        ).alias("chunk_text"),
+        (chunk_end - F.col("start") + 1).alias("chunk_tokens"),
+    )
