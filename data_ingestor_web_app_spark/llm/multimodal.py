@@ -119,3 +119,44 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         sample_frames,
         schema="doc_id long, frame_idx int, frame_byte int",
     )
+
+
+@query(
+    "mm_binaryfile_source",
+    oracle="""
+    SELECT doc_id,
+           CAST(OCTET_LENGTH(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+           SHA256(text) AS content_sha256
+    FROM documents WHERE doc_id < 100
+    """,
+)
+def mm_binaryfile_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production loading path for image/audio/video dirs: Spark's
+    binaryFile source (one row per file: path, length, content bytes).
+    First 100 documents are materialized as individual payload files
+    (standing in for .jpg/.wav blobs), then read back through
+    format("binaryFile"); identity is recovered from the filename and the
+    content hash matches the source table — proving the dir→DataFrame
+    loading step is lossless. At 100 TB this reads S3/HDFS listings with
+    pathGlobFilter + partition-parallel file reads."""
+    import os
+    import tempfile
+
+    d = table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    out = tempfile.mkdtemp(prefix="mm_files_")
+
+    # one file per payload, named by doc_id (test-scale materialization;
+    # rows stay executor-side via foreachPartition)
+    def write_files(rows):  # noqa: ANN001
+        for r in rows:
+            with open(os.path.join(out, f"{r['doc_id']:06d}.bin"), "wb") as f:
+                f.write(r["text"].encode("utf-8"))
+
+    d.select("doc_id", "text").foreachPartition(write_files)
+
+    back = spark.read.format("binaryFile").option("pathGlobFilter", "*.bin").load(out)
+    return back.select(
+        F.regexp_extract(F.col("path"), r"(\d+)\.bin$", 1).cast("long").alias("doc_id"),
+        F.col("length").alias("n_bytes"),
+        F.sha2("content", 256).alias("content_sha256"),
+    )
