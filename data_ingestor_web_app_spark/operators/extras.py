@@ -304,3 +304,125 @@ def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("exact_users"),
     ).select(F.lit("__all__").alias("event_type"), "approx_users", "exact_users")
     return per_type_est.unionByName(total)
+
+
+@query(
+    "agg_bool",
+    oracle="""
+    SELECT l_returnflag,
+           BOOL_AND(l_quantity > 0) AS all_positive_qty,
+           BOOL_OR(l_discount > 0.09) AS any_deep_discount,
+           SUM(CASE WHEN l_tax = 0 THEN 1 ELSE 0 END) AS n_tax_free
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregates: bool_and/bool_or (every/any) per group."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.bool_and(F.col("l_quantity") > 0).alias("all_positive_qty"),
+        F.bool_or(F.col("l_discount") > 0.09).alias("any_deep_discount"),
+        F.sum(F.when(F.col("l_tax") == 0, 1).otherwise(0)).alias("n_tax_free"),
+    )
+
+
+@query(
+    "set_intersect_all",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 300000
+    INTERSECT ALL
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag (multiplicity-preserving) intersection — INTERSECT ALL."""
+    o = table(spark, sf_dir, "orders")
+    left = o.where(F.col("o_totalprice") > 300000).select(F.col("o_custkey").alias("custkey"))
+    right = o.where(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
+    return left.intersectAll(right)
+
+
+@query(
+    "set_except_all",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 300000
+    EXCEPT ALL
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag difference — EXCEPT ALL (each right occurrence cancels one left)."""
+    o = table(spark, sf_dir, "orders")
+    left = o.where(F.col("o_totalprice") > 300000).select(F.col("o_custkey").alias("custkey"))
+    right = o.where(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
+    return left.exceptAll(right)
+
+
+_LATERAL_SQL = """
+    SELECT c.c_custkey, t.o_orderkey AS top_orderkey, t.o_totalprice AS top_price
+    FROM customer c,
+    LATERAL (
+        SELECT o.o_orderkey, o.o_totalprice
+        FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+        ORDER BY o.o_totalprice DESC, o.o_orderkey
+        LIMIT 1
+    ) t
+"""
+
+
+@query("join_lateral", oracle=_LATERAL_SQL)
+def join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery join (per-customer top order). Catalyst
+    rewrites the correlated LIMIT 1 into a window/aggregate under a join —
+    same physical shape as topk_per_group, expressed in the SQL dialect."""
+    register_views(spark, sf_dir)
+    return spark.sql(_LATERAL_SQL)
+
+
+@query(
+    "fn_format",
+    oracle="""
+    SELECT o_orderkey,
+           PRINTF('%08d', o_orderkey) AS key_padded,
+           PRINTF('%.2f', o_totalprice) AS price_2dp,
+           PRINTF('%s|%s', o_orderstatus, o_orderpriority) AS status_pri
+    FROM orders
+    """,
+)
+def fn_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """printf-style formatting (format_string ↔ DuckDB PRINTF)."""
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.format_string("%08d", "o_orderkey").alias("key_padded"),
+        F.format_string("%.2f", "o_totalprice").alias("price_2dp"),
+        F.format_string("%s|%s", "o_orderstatus", "o_orderpriority").alias("status_pri"),
+    )
+
+
+@query(
+    "fn_trig",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(SIN(l_quantity), 6) AS sin_qty,
+           ROUND(COS(l_quantity), 6) AS cos_qty,
+           ROUND(ATAN2(l_discount, l_tax + 0.001), 6) AS atan2_dt,
+           ROUND(DEGREES(ATAN(l_discount)), 6) AS deg_atan_disc,
+           ROUND(EXP(l_discount), 6) AS exp_disc
+    FROM lineitem WHERE l_linenumber <= 2
+    """,
+)
+def fn_trig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trig/exponential family, rounded to 6 places (ulp-level libm
+    differences between JVM and C math can't cross a 1e-6 boundary)."""
+    li = table(spark, sf_dir, "lineitem").where(F.col("l_linenumber") <= 2)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.sin("l_quantity"), 6).alias("sin_qty"),
+        F.round(F.cos("l_quantity"), 6).alias("cos_qty"),
+        F.round(F.atan2(F.col("l_discount"), F.col("l_tax") + 0.001), 6).alias("atan2_dt"),
+        F.round(F.degrees(F.atan("l_discount")), 6).alias("deg_atan_disc"),
+        F.round(F.exp("l_discount"), 6).alias("exp_disc"),
+    )
