@@ -106,3 +106,40 @@ def test_hll_sketch_within_5pct(spark, sf_small):
     from data_ingestor_web_app_spark.io import table
     exact_all = table(spark, sf_small, "events").select("user_id").distinct().count()
     assert abs(rows["__all__"]["approx_users"] - exact_all) <= max(1, 0.05 * exact_all)
+
+
+def test_approx_distinct_within_5pct(spark, sf_small):
+    """SURVEY §2B: agg_approx_distinct rows-check is 'vs exact ±5%'."""
+    from data_ingestor_web_app_spark.io import table
+
+    approx = {r["event_type"]: r["approx_users"] for r in QUERIES["agg_approx_distinct"](spark, sf_small).collect()}
+    exact = {
+        r["event_type"]: r["n"]
+        for r in table(spark, sf_small, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for et, n in exact.items():
+        assert abs(approx[et] - n) <= max(1, 0.05 * n), (et, approx[et], n)
+
+
+def test_cosine_crosscheck_duckdb_builtin(spark, sf_small):
+    """SURVEY §2B: sim_cosine_topk cross-checked against DuckDB's native
+    list_cosine_similarity (independent of our UNNEST oracle)."""
+    import duckdb
+
+    ours = QUERIES["sim_cosine_topk"](spark, sf_small).collect()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW embeddings AS SELECT * FROM '{sf_small}/embeddings.parquet'")
+    native = {
+        (r[0], r[1]): r[2]
+        for r in con.sql(
+            """
+            SELECT a.vec_id, b.vec_id, LIST_COSINE_SIMILARITY(a.embedding, b.embedding)
+            FROM embeddings a JOIN embeddings b ON a.vec_id < 20 AND a.vec_id <> b.vec_id
+            """
+        ).fetchall()
+    }
+    for r in ours:
+        assert abs(r["cosine"] - native[(r["qid"], r["nid"])]) < 1e-4, (r, native[(r["qid"], r["nid"])])
