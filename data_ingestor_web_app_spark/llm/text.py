@@ -283,3 +283,74 @@ def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("chunk_text"),
         (chunk_end - F.col("start") + 1).alias("chunk_tokens"),
     )
+
+
+@query(
+    "pipeline_training_corpus",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, lang, text, STRING_SPLIT(text, ' ') AS t FROM documents
+    ),
+    quality AS (
+        SELECT doc_id, lang, text, t, LEN(t) AS n
+        FROM toks
+        WHERE LEN(t) BETWEEN 20 AND 90
+          AND CAST(LEN(LIST_FILTER(t, x -> x IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE) / LEN(t) < 0.4
+    ),
+    dedup AS (
+        SELECT MIN(doc_id) AS doc_id FROM quality GROUP BY SHA256(text)
+    ),
+    kept AS (
+        SELECT q.* FROM quality q JOIN dedup d ON q.doc_id = d.doc_id
+    ),
+    chunks AS (
+        SELECT doc_id, lang, t, n,
+               UNNEST(RANGE(1, GREATEST(n - 4, 1) + 1, 15)) AS start
+        FROM kept
+    )
+    SELECT doc_id, lang,
+           CAST((start - 1) / 15 + 1 AS BIGINT) AS chunk_idx,
+           ARRAY_TO_STRING(LIST_SLICE(t, start, LEAST(start + 19, n)), ' ') AS chunk_text,
+           LEAST(start + 19, n) - start + 1 AS chunk_tokens,
+           MD5(ARRAY_TO_STRING(LIST_SLICE(t, start, LEAST(start + 19, n)), ' ')) AS chunk_fingerprint
+    FROM chunks
+    """,
+)
+def pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LLM training-corpus pipeline END-TO-END in one declarative plan:
+    quality gates → exact dedup (keep lowest doc_id per content hash) →
+    20-token/15-stride chunking → per-chunk md5 fingerprint.
+
+    The point: each stage is an operator proven individually elsewhere in
+    the inventory; composed here they stay ONE Catalyst plan — the filter
+    pushes into the scan, dedup is one hash shuffle, chunk explode and
+    fingerprints are map-side. At 100 TB this whole pipeline is two
+    shuffles (dedup groupBy + nothing else) over one pass of the corpus."""
+    d = table(spark, sf_dir, "documents")
+    t = F.split("text", " ")
+    toks = d.select("doc_id", "lang", "text", t.alias("t"), F.size(t).alias("n"))
+    stop_ratio = F.size(F.filter(F.col("t"), lambda x: x.isin("the", "a", "of", "and", "to"))).cast(
+        "double"
+    ) / F.col("n")
+    quality = toks.where(F.col("n").between(20, 90) & (stop_ratio < 0.4))
+    dedup = quality.groupBy(F.sha2(F.col("text").cast("binary"), 256)).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    kept = quality.join(F.broadcast(dedup.select("doc_id")), "doc_id")
+    chunks = kept.select(
+        "doc_id",
+        "lang",
+        "t",
+        "n",
+        F.explode(F.sequence(F.lit(1), F.greatest(F.col("n") - 4, F.lit(1)), F.lit(15))).alias("start"),
+    )
+    end = F.least(F.col("start") + 19, F.col("n"))
+    chunk_text = F.array_join(F.slice("t", F.col("start"), end - F.col("start") + 1), " ")
+    return chunks.select(
+        "doc_id",
+        "lang",
+        ((F.col("start") - 1) / 15 + 1).cast("long").alias("chunk_idx"),
+        chunk_text.alias("chunk_text"),
+        (end - F.col("start") + 1).alias("chunk_tokens"),
+        F.md5(chunk_text.cast("binary")).alias("chunk_fingerprint"),
+    )
