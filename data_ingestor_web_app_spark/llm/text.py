@@ -354,3 +354,51 @@ def pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         (end - F.col("start") + 1).alias("chunk_tokens"),
         F.md5(chunk_text.cast("binary")).alias("chunk_fingerprint"),
     )
+
+
+@query(
+    "text_rolling_hash",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               LIST_TRANSFORM(STRING_SPLIT(text, ' '),
+                              tok -> LENGTH(tok) * 31 + UNICODE(SUBSTR(tok, 1, 1))) AS codes
+        FROM documents
+    )
+    SELECT doc_id,
+           LIST_REDUCE(LIST_PREPEND(CAST(0 AS BIGINT), codes),
+                       (acc, x) -> (acc * 31 + x) % 1000000007) AS rolling_hash,
+           LIST_REDUCE(LIST_PREPEND(CAST(0 AS BIGINT), LIST_SLICE(codes, 1, 8)),
+                       (acc, x) -> (acc * 31 + x) % 1000000007) AS prefix8_hash
+    FROM t
+    """,
+)
+def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True polynomial rolling-hash fingerprint: left fold of
+    (acc*31 + token_code) mod 1e9+7 over the token sequence (token_code =
+    31*len + first char code — order-sensitive, unlike the bag fingerprint
+    in text_fingerprint). Sequential modular arithmetic folds identically
+    in Spark's aggregate() and DuckDB's list_reduce, so it's hash-exact.
+    One scan, zero shuffles; the prefix8 variant is the cheap
+    common-prefix dedup key."""
+    d = table(spark, sf_dir, "documents")
+    codes = F.transform(
+        F.split("text", " "),
+        lambda tok: (F.length(tok) * 31 + F.ascii(F.substring(tok, 1, 1))).cast("long"),
+    )
+
+    def fold(arr):
+        return F.aggregate(
+            arr,
+            F.lit(0).cast("long"),
+            lambda acc, x: (acc * 31 + x) % F.lit(1000000007).cast("long"),
+        )
+
+    return d.select(
+        "doc_id",
+        codes.alias("_codes"),
+    ).select(
+        "doc_id",
+        fold(F.col("_codes")).alias("rolling_hash"),
+        fold(F.slice("_codes", 1, 8)).alias("prefix8_hash"),
+    )
