@@ -426,3 +426,82 @@ def fn_trig(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.degrees(F.atan("l_discount")), 6).alias("deg_atan_disc"),
         F.round(F.exp("l_discount"), 6).alias("exp_disc"),
     )
+
+
+@query(
+    "fn_nulls",
+    oracle="""
+    WITH t AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderstatus = 'P' THEN NULL ELSE o_totalprice END AS maybe_price,
+               NULLIF(o_orderstatus, 'O') AS maybe_status
+        FROM orders
+    )
+    SELECT o_orderkey,
+           (maybe_price IS NOT DISTINCT FROM NULL) AS price_is_null,
+           COALESCE(maybe_price, -1.0) AS price_or_neg1,
+           (maybe_status IS DISTINCT FROM 'F') AS status_not_f_nullsafe,
+           CASE WHEN maybe_price IS NULL THEN 'missing' ELSE 'present' END AS presence,
+           IFNULL(maybe_status, 'open') AS status_or_open
+    FROM t
+    """,
+)
+def fn_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-handling family: null-safe equality (<=> / IS [NOT] DISTINCT
+    FROM), coalesce/ifnull, null-aware CASE — the dirty-data semantics the
+    LogEntry omitempty sparsity (main.go:43-53) forces on every consumer."""
+    o = table(spark, sf_dir, "orders")
+    maybe_price = F.when(F.col("o_orderstatus") == "P", None).otherwise(F.col("o_totalprice"))
+    maybe_status = F.nullif(F.col("o_orderstatus"), F.lit("O"))
+    return o.select(
+        "o_orderkey",
+        maybe_price.eqNullSafe(F.lit(None).cast("double")).alias("price_is_null"),
+        F.coalesce(maybe_price, F.lit(-1.0)).alias("price_or_neg1"),
+        (~maybe_status.eqNullSafe(F.lit("F"))).alias("status_not_f_nullsafe"),
+        F.when(maybe_price.isNull(), "missing").otherwise("present").alias("presence"),
+        F.ifnull(maybe_status, F.lit("open")).alias("status_or_open"),
+    )
+
+
+@query(
+    "win_ignore_nulls",
+    oracle="""
+    WITH t AS (
+        SELECT event_id, user_id, ts,
+               CASE WHEN event_type = 'error' THEN NULL ELSE value END AS good_value
+        FROM events
+    )
+    SELECT event_id, user_id,
+           LAG(good_value IGNORE NULLS) OVER w AS prev_good,
+           LAST_VALUE(good_value IGNORE NULLS) OVER w AS latest_good
+    FROM t
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def win_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IGNORE NULLS window navigation: carry forward the last non-null
+    reading per user (the gap-fill / last-observation-carried-forward
+    pattern for sensor-style streams with bad readings nulled out)."""
+    e = table(spark, sf_dir, "events")
+    good = F.when(F.col("event_type") == "error", None).otherwise(F.col("value"))
+    t = e.select("event_id", "user_id", "ts", good.alias("good_value"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return t.select(
+        "event_id",
+        "user_id",
+        # LAG IGNORE NULLS emulated as last non-null over the preceding frame
+        # (PySpark's lag() doesn't expose ignoreNulls)
+        F.last("good_value", ignorenulls=True)
+        .over(
+            Window.partitionBy("user_id")
+            .orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        .alias("prev_good"),
+        F.last("good_value", ignorenulls=True).over(w).alias("latest_good"),
+    )

@@ -41,6 +41,7 @@ EXPECTED = {
     "agg_salted_twophase", "win_nth_value", "fn_bitwise", "scan_sample",
     "agg_minmax_by", "source_python_datasource", "agg_hll_sketch",
     "agg_bool", "set_intersect_all", "set_except_all", "join_lateral", "fn_format", "fn_trig",
+    "fn_nulls", "win_ignore_nulls",
     # TPC-H classics + parquet sink
     "tpch_q3", "tpch_q6", "tpch_q10", "tpch_q18", "sink_parquet_pruned",
     "source_csv_roundtrip", "source_orc_roundtrip",
