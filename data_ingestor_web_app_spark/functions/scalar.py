@@ -268,7 +268,7 @@ def fn_try(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
-        F.try_to_number(F.split_part(F.col("text"), F.lit(" "), F.lit(1)), F.lit("999999")).cast("long").alias("first_tok_as_int"),
+        F.split_part(F.col("text"), F.lit(" "), F.lit(1)).try_cast("long").alias("first_tok_as_int"),
         F.col("lang").try_cast("double").alias("lang_as_double"),
         F.try_divide(F.col("n_chars").cast("double"), F.col("n_chars") - F.col("n_chars")).isNull().alias("div0_is_null"),
         F.coalesce(F.substring("text", 1, 1).try_cast("long"), F.lit(-1)).alias("first_char_int_or_neg1"),

@@ -135,8 +135,9 @@ _N_BANDS = 8
 
 
 def _minhash_signatures(d: DataFrame) -> DataFrame:
-    """doc_id → 32 minhash values: min over tokens of xxhash64(token, seed).
-    xxhash64 is a deterministic JVM-side built-in — no Python, no UDF."""
+    """doc_id → _N_HASHES (64) minhash values: min over tokens of
+    xxhash64(token, seed). xxhash64 is a deterministic JVM-side built-in —
+    no Python, no UDF."""
     toks = d.select("doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok"))
     mins = [
         F.min(F.xxhash64(F.col("tok"), F.lit(seed))).alias(f"mh{seed}")
@@ -149,8 +150,9 @@ def _minhash_signatures(d: DataFrame) -> DataFrame:
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH banding — the 100 TB near-dup path.
 
-    Pipeline: token-set → 32 minhashes (xxhash64, seeds 0..31) → 8 bands of
-    4 → band-bucket self-join (only docs agreeing on a whole band pair up)
+    Pipeline: token-set → 64 minhashes (xxhash64, seeds 0..63) → 8 bands of
+    8 (LSH threshold (1/b)^(1/r) = (1/8)^(1/8) ≈ 0.77) → band-bucket
+    self-join (only docs agreeing on a whole band pair up)
     → exact Jaccard verification on candidates. Candidate generation is
     linear in corpus size + bucket collisions; the quadratic explode-join of
     dedup_near is never executed at scale.

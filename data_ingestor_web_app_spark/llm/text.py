@@ -37,12 +37,17 @@ from data_ingestor_web_app_spark.registry import query
 )
 def text_tokenize_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenize + top-50 terms. explode → groupBy(token) (map-side partial
-    count, shuffle carries one row per distinct token) → global top-k."""
+    count, shuffle carries one row per distinct token) → top-k via
+    orderBy().limit(50), which compiles to TakeOrderedAndProject (per-partition
+    heap + driver merge of 50-row heaps — never a global sort, even with 10^8+
+    distinct tokens). Ranks are derived over the 50 survivors only, so the
+    window sort is bounded at k rows regardless of corpus size."""
     d = table(spark, sf_dir, "documents")
     toks = d.select(F.explode(F.split("text", " ")).alias("raw")).select(F.lower("raw").alias("token"))
     counts = toks.where(F.col("token") != "").groupBy("token").agg(F.count("*").alias("n"))
+    top50 = counts.orderBy(F.col("n").desc(), F.col("token")).limit(50)
     w = Window.orderBy(F.col("n").desc(), F.col("token"))
-    return counts.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= 50)
+    return top50.withColumn("rk", F.row_number().over(w))
 
 
 @query(
@@ -325,7 +330,11 @@ def pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     the inventory; composed here they stay ONE Catalyst plan — the filter
     pushes into the scan, dedup is one hash shuffle, chunk explode and
     fingerprints are map-side. At 100 TB this whole pipeline is two
-    shuffles (dedup groupBy + nothing else) over one pass of the corpus."""
+    shuffles — the dedup groupBy plus the keep-set semi-join on doc_id.
+    The keep-set is O(#distinct documents), so it is NEVER broadcast: a
+    left_semi shuffle join keeps both sides partitioned on doc_id and
+    survives an arbitrarily large corpus (AQE may still downgrade to
+    broadcast when the runtime size is genuinely small)."""
     d = table(spark, sf_dir, "documents")
     t = F.split("text", " ")
     toks = d.select("doc_id", "lang", "text", t.alias("t"), F.size(t).alias("n"))
@@ -336,7 +345,7 @@ def pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup = quality.groupBy(F.sha2(F.col("text").cast("binary"), 256)).agg(
         F.min("doc_id").alias("doc_id")
     )
-    kept = quality.join(F.broadcast(dedup.select("doc_id")), "doc_id")
+    kept = quality.join(dedup.select("doc_id"), "doc_id", "left_semi")
     chunks = kept.select(
         "doc_id",
         "lang",

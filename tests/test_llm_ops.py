@@ -87,14 +87,45 @@ def test_ann_lsh_recall(spark, sf_small):
     assert all(r["cosine"] <= 1.0 for r in ann)
 
 
-def test_mm_decode_stub_shape(spark, sf_small):
-    out = QUERIES["mm_decode_stub"](spark, sf_small)
-    assert out.columns == ["doc_id", "width", "height", "mean_intensity"]
-    rows = out.collect()
-    assert all(32 <= r["width"] < 64 for r in rows)
-    # deterministic: same input → same features
-    again = QUERIES["mm_decode_stub"](spark, sf_small).collect()
-    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+def test_mm_decode_image_real_codec(spark, sf_small):
+    out = QUERIES["mm_decode_image"](spark, sf_small)
+    assert out.columns == ["doc_id", "width", "height", "sum_intensity", "mean_intensity"]
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows
+    # decoded dimensions and intensity must equal the analytic ground truth
+    for doc_id, r in rows.items():
+        w, h = 16 + doc_id % 16, 16 + (doc_id * 3) % 16
+        assert (r["width"], r["height"]) == (w, h)
+        s = sum((x * 7 + y * 13 + doc_id) % 256 for y in range(h) for x in range(w))
+        assert r["sum_intensity"] == s
+        assert r["mean_intensity"] == round(s / (w * h), 4)
+
+
+def test_mm_decode_audio_real_codec(spark, sf_small):
+    import math
+
+    rows = {r["doc_id"]: r for r in QUERIES["mm_decode_audio"](spark, sf_small).collect()}
+    assert rows
+    for doc_id, r in rows.items():
+        n = 800 + (doc_id % 10) * 80
+        assert r["sample_rate"] == 8000
+        assert r["n_frames"] == n
+        assert r["duration_sec"] == round(n / 8000, 4)
+        sq = sum((((i * (doc_id + 7)) % 2048) - 1024) ** 2 for i in range(n))
+        assert r["rms"] == round(math.sqrt(sq / n), 4)
+
+
+def test_mm_codec_rejects_corruption():
+    from data_ingestor_web_app_spark.llm.codecs import png_decode_gray, png_encode_gray
+
+    import pytest
+
+    data = bytearray(png_encode_gray(8, 8, lambda x, y: x + y))
+    data[20] ^= 0xFF  # flip a bit inside IHDR
+    with pytest.raises(ValueError):
+        png_decode_gray(bytes(data))
+    with pytest.raises(ValueError):
+        png_decode_gray(b"not a png at all")
 
 
 def test_hll_sketch_within_5pct(spark, sf_small):

@@ -51,7 +51,8 @@ EXPECTED = {
     "sim_cosine_topk", "sim_pairwise_threshold", "sim_ann_lsh",
     "text_tokenize_wordcount", "text_stats", "text_filter_quality", "text_langid",
     "text_token_count", "text_fingerprint", "text_chunk_overlap", "pipeline_training_corpus", "text_rolling_hash",
-    "mm_metadata", "mm_decode_stub", "mm_frame_sample", "mm_binaryfile_source",
+    "mm_metadata", "mm_decode_image", "mm_decode_audio", "mm_frame_sample",
+    "mm_binaryfile_source",
 }
 
 

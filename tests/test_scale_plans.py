@@ -70,6 +70,27 @@ def test_events_reader_converts_ns_timestamps(spark, sf_small):
     assert schema["ts"] == "timestamp"
 
 
+def test_wordcount_topk_uses_heap_not_global_sort(spark, sf_small):
+    # top-50 must compile to TakeOrderedAndProject; the only Window allowed
+    # is the rank derivation over the 50 survivors (bounded at k rows)
+    p = plan(spark, "text_tokenize_wordcount", sf_small)
+    assert "TakeOrderedAndProject" in p
+
+
+def test_pipeline_corpus_never_broadcasts_dedup_keepset(spark, sf_small):
+    # the dedup keep-set is O(#distinct docs) - unbounded at 100 TB, so the
+    # query must not FORCE a broadcast via hint. The planner may still pick
+    # broadcast from size estimates at tiny SF (and would correctly pick a
+    # shuffle semi-join once estimates exceed autoBroadcastJoinThreshold),
+    # so assert the optimized logical plan carries no broadcast hint and the
+    # join is a semi-join.
+    df = QUERIES["pipeline_training_corpus"](spark, sf_small)
+    qe = df._jdf.queryExecution()
+    optimized = qe.optimizedPlan().toString()
+    assert "hint" not in optimized.lower(), optimized
+    assert "LeftSemi" in optimized
+
+
 def test_bucketed_join_has_no_exchange(spark, sf_small):
     p = plan(spark, "join_bucketed_colocated", sf_small)
     # the join's children must read bucketed files directly - no shuffle
