@@ -48,6 +48,8 @@ HEADLINE = [
     "tpch_q18",
     "agg_salted_twophase",
     "subquery_correlated",
+    "join_asof_banded",
+    "pipeline_training_corpus",
 ]
 
 

@@ -82,7 +82,14 @@ def ingest_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     Hex is truncated to the first 48 bytes (the console dump at main.go:
     304-309 does the same kind of preview; full hex is just a longer string).
     """
-    p = payloads(spark, sf_dir)
+    return to_logentries(payloads(spark, sf_dir))
+
+
+def to_logentries(p: DataFrame) -> DataFrame:
+    """The R4-R10 LogEntry projection over any payload-shaped DataFrame
+    (batch fixture or live stream) with columns conn_id, payload,
+    payload_str, client_ip, recv_ts. Works unchanged on a streaming
+    DataFrame — the projection is stateless."""
     byte_count = F.octet_length("payload")
     return (
         p.where(byte_count > 0)
@@ -102,6 +109,25 @@ def ingest_records(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lower(F.hex(F.substring("payload_str", 1, 48).cast("binary"))).alias("binary_data_hex"),
         )
     )
+
+
+def logentries_from_socket_lines(lines: DataFrame, client_ip: str) -> DataFrame:
+    """R1 live path: turn a socket-source stream of framed lines
+    ``conn_id|epoch_sec|payload`` into LogEntry records via the same
+    projection as the batch path (reference/main.go:199-257 accepts TCP
+    payloads and main.go:101-114 builds the record; here the socket source
+    supplies `value` and the enrichment is shared with ingest_records).
+    The receive timestamp rides in the frame so the record derivation stays
+    deterministic (never current_timestamp)."""
+    parts = F.split("value", r"\|", 3)
+    p = lines.select(
+        parts.getItem(0).cast("long").alias("conn_id"),
+        parts.getItem(2).alias("payload_str"),
+        parts.getItem(2).cast("binary").alias("payload"),
+        F.lit(client_ip).alias("client_ip"),
+        F.timestamp_seconds(parts.getItem(1).cast("long")).alias("recv_ts"),
+    )
+    return to_logentries(p)
 
 
 def _go_quote(s: str) -> str:

@@ -94,10 +94,20 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     quadratic-dense — prefix filtering is time-parity with the naive join
     here (both dominated by emitting/verifying the 1M real pairs). On a
     natural-vocabulary corpus the prefix join is orders of magnitude
-    smaller; for unverified-candidate speed, use dedup_minhash_lsh."""
-    tau = 0.9
+    smaller (tests/test_llm_ops.py measures the candidate reduction on a
+    5000-token synthetic vocabulary); for unverified-candidate speed, use
+    dedup_minhash_lsh."""
     d = table(spark, sf_dir, "documents")
     toksets = d.select("doc_id", F.array_distinct(F.split("text", " ")).alias("toks")).cache()
+    _candidates, verified = prefix_filtered_pairs(toksets, tau=0.9)
+    return verified
+
+
+def prefix_filtered_pairs(toksets: DataFrame, tau: float) -> tuple[DataFrame, DataFrame]:
+    """PPJoin-style prefix-filtered near-dup core over a (doc_id, toks)
+    DataFrame. Returns (candidate pairs, verified pairs with Jaccard >=
+    tau). Split out from dedup_near so tests can measure the candidate
+    count against the naive any-shared-token join on arbitrary corpora."""
     exploded = toksets.select("doc_id", F.size("toks").alias("n_toks"), F.explode("toks").alias("tok"))
     freq = exploded.groupBy("tok").agg(F.count("*").alias("tf"))
     w = Window.partitionBy("doc_id").orderBy("tf", "tok")
@@ -119,12 +129,13 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     tb = toksets.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
     inter = F.size(F.array_intersect("toks_a", "toks_b"))
     jac = inter / (F.size("toks_a") + F.size("toks_b") - inter)
-    return (
+    verified = (
         candidates.join(ta, "doc_a")
         .join(tb, "doc_b")
         .where(jac >= tau)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
+    return candidates, verified
 
 
 # 8 bands x 8 rows: LSH threshold (1/b)^(1/r) ~ 0.77, P(candidate | j=0.9)

@@ -278,8 +278,9 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     Implementation: equi-join on the key + windowed latest-row selection.
     The join shuffles on user_id only; the window sorts within the partition.
     At 100 TB the conditional join would be bounded with a time-range band
-    (o_orderdate BETWEEN ts - horizon AND ts) to cap the intermediate; the
-    deterministic tie-break (orderkey DESC) keeps the oracle hash stable.
+    to cap the intermediate — that variant is implemented as
+    ``join_asof_banded`` below; the deterministic tie-break (orderkey DESC)
+    keeps the oracle hash stable.
     """
     e = table(spark, sf_dir, "events")
     o = table(spark, sf_dir, "orders")
@@ -297,4 +298,56 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.col("best.o_orderkey").alias("asof_orderkey"),
         F.date_format("best.o_orderdate", "yyyy-MM-dd").alias("asof_orderdate"),
+    )
+
+
+@query(
+    "join_asof_banded",
+    oracle="""
+    WITH ranked AS (
+        SELECT e.event_id, e.user_id, p.event_id AS prev_event_id, p.ts AS prev_ts,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.event_id
+                   ORDER BY p.ts DESC, p.event_id DESC
+               ) AS rn
+        FROM events e JOIN events p
+          ON p.user_id = e.user_id
+         AND p.ts < e.ts
+         AND p.ts >= e.ts - INTERVAL 1 HOUR
+    )
+    SELECT event_id, user_id, prev_event_id,
+           STRFTIME(prev_ts, '%Y-%m-%d %H:%M:%S') AS prev_ts_s
+    FROM ranked WHERE rn = 1
+    """,
+)
+def join_asof_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded (horizon-capped) as-of join — the 100 TB posture the join_asof
+    docstring promises: each event is matched to the latest PRIOR event of
+    the same user no older than 1 hour, so the join intermediate is bounded
+    by events-per-user-per-hour instead of the user's entire history. The
+    band predicate (p.ts BETWEEN e.ts - horizon AND e.ts) is evaluated
+    inside the user_id equi-join partition — one shuffle, never Cartesian —
+    and the latest-row pick is the same partially-aggregatable
+    max(struct(ts, id)) as join_asof. Events with no in-horizon predecessor
+    drop out (inner-join semantics, matching the oracle)."""
+    e = table(spark, sf_dir, "events")
+    p = table(spark, sf_dir, "events").select(
+        F.col("event_id").alias("p_event_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    joined = e.join(
+        p,
+        (p.p_user_id == e.user_id)
+        & (p.p_ts < e.ts)
+        & (p.p_ts >= e.ts - F.expr("INTERVAL 1 HOUR")),
+    )
+    best = joined.groupBy("event_id", "user_id").agg(
+        F.max(F.struct("p_ts", "p_event_id")).alias("best")
+    )
+    return best.select(
+        "event_id",
+        "user_id",
+        F.col("best.p_event_id").alias("prev_event_id"),
+        F.date_format("best.p_ts", "yyyy-MM-dd HH:mm:ss").alias("prev_ts_s"),
     )

@@ -93,6 +93,67 @@ def sink_partitioned_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def prune_partitions(spark: SparkSession, path: str, column: str, cutoff: str) -> list[str]:
+    """R20 retention util — the logrotate analogue
+    (reference/configs/logrotate.conf:1-12: daily rotate, keep 7): delete
+    hive-style partition directories ``column=value`` whose value sorts
+    strictly below ``cutoff``. Uses the Hadoop FileSystem API via the JVM
+    gateway, so the same code prunes local dirs, HDFS, and s3a:// — this is
+    a driver-side metadata operation (one LIST + one DELETE per expired
+    partition), no data is read. Returns the pruned partition values."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    pruned = []
+    for status in fs.listStatus(jpath):
+        name = status.getPath().getName()
+        if status.isDirectory() and name.startswith(column + "="):
+            value = name.split("=", 1)[1]
+            if value < cutoff:
+                fs.delete(status.getPath(), True)
+                pruned.append(value)
+    return sorted(pruned)
+
+
+@query(
+    "retention_prune",
+    oracle="""
+    WITH mx AS (SELECT MAX(CAST(ts AS DATE)) AS max_dt FROM events)
+    SELECT STRFTIME(CAST(ts AS DATE), '%Y-%m-%d') AS dt,
+           COUNT(*) AS n_events
+    FROM events, mx
+    WHERE CAST(ts AS DATE) >= max_dt - 6
+    GROUP BY 1
+    """,
+)
+def retention_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R20 end-to-end: date-partitioned sink + retention pruning + read-back.
+
+    Events are written partitioned by day (dt=yyyy-MM-dd), then
+    ``prune_partitions`` deletes every partition older than a 7-day window
+    anchored at the corpus max date (deterministic — wall-clock anchoring
+    would flap the oracle hash). The read-back per-day counts hash-match the
+    source table restricted to the window, proving (a) the sink is lossless
+    and (b) exactly the expired partitions were removed. At 100 TB the
+    read-back is partition-pruned directory listing; the prune itself never
+    touches row data."""
+    e = table(spark, sf_dir, "events")
+    days = e.select(F.date_format("ts", "yyyy-MM-dd").alias("dt"), "event_id")
+    out = os.path.join(tempfile.mkdtemp(prefix="retention_"), "events")
+    days.write.mode("overwrite").partitionBy("dt").parquet(out)
+
+    import datetime
+
+    max_dt = days.agg(F.max("dt")).first()[0]  # one scalar to the driver
+    cutoff = (datetime.date.fromisoformat(max_dt) - datetime.timedelta(days=6)).isoformat()
+    prune_partitions(spark, out, "dt", cutoff)
+
+    back = spark.read.parquet(out)
+    return back.groupBy(F.col("dt").cast("string").alias("dt")).agg(
+        F.count("*").alias("n_events")
+    )
+
+
 @query(
     "source_csv_roundtrip",
     oracle="""

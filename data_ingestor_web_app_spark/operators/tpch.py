@@ -151,14 +151,17 @@ def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q18 — large-volume customers: semi-join against a HAVING-filtered
-    aggregate of the same fact table (the aggregate side is tiny → Spark
-    broadcasts it as a left-semi build)."""
+    aggregate of the same fact table. No broadcast hint: the filtered set's
+    size is data-dependent (selectivity of qty > 150), so the strategy is
+    left to AQE, which sees the aggregate's true runtime size and picks
+    broadcast when it is genuinely small, shuffle semi-join when not —
+    the safe posture at 100 TB where a forced broadcast could OOM."""
     li = table(spark, sf_dir, "lineitem")
     big = li.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("sq")).where(F.col("sq") > 150)
     c = table(spark, sf_dir, "customer")
     o = table(spark, sf_dir, "orders")
     return (
-        o.join(F.broadcast(big.select("l_orderkey")), o.o_orderkey == F.col("l_orderkey"), "left_semi")
+        o.join(big.select("l_orderkey"), o.o_orderkey == F.col("l_orderkey"), "left_semi")
         .join(c, o.o_custkey == c.c_custkey)
         .join(li, li.l_orderkey == o.o_orderkey)
         .groupBy(

@@ -140,18 +140,10 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     return runtime.run_to_memory(agg, "complete")
 
 
-@query("stream_watermark_late")  # rows-only: drop semantics are engine-specific
-def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Late-data drop under a watermark, demonstrated deterministically:
-    the replay is [first 25 days] → [sentinel far in the future] →
-    [second sentinel] → [late remainder].
-
-    Eviction uses the watermark computed at batch PLANNING time (one batch
-    of lag — measured on Spark 4.1), so the second sentinel batch is what
-    actually evicts+emits every real window; the late file then arrives
-    after eviction and its rows are dropped (numRowsDroppedByWatermark).
-    Append mode emits only finalized windows, so the result is exactly the
-    early-file windows."""
+def _watermark_late_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build (not run) the late-data replay stream used by
+    stream_watermark_late; tests run it themselves to assert the
+    numRowsDroppedByWatermark progress metric."""
     e = table(spark, sf_dir, "events")
     cutoff = F.lit("2024-01-25 00:00:00").cast("timestamp")
     early = e.where(F.col("ts") < cutoff)
@@ -185,7 +177,7 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
     )
-    agg = (
+    return (
         s.withWatermark("ts", "1 day")
         .groupBy(F.window("ts", "1 day"))
         .agg(F.count("*").alias("n_events"))
@@ -194,6 +186,23 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@query("stream_watermark_late")  # rows-only: drop semantics are engine-specific
+def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-data drop under a watermark, demonstrated deterministically:
+    the replay is [first 25 days] → [sentinel far in the future] →
+    [second sentinel] → [late remainder].
+
+    Eviction uses the watermark computed at batch PLANNING time (one batch
+    of lag — measured on Spark 4.1), so the second sentinel batch is what
+    actually evicts+emits every real window; the late file then arrives
+    after eviction and its rows are dropped. The test asserts the
+    numRowsDroppedByWatermark progress metric equals the late-file row
+    count exactly, so a Spark version change in watermark propagation fails
+    loudly instead of silently altering semantics. Append mode emits only
+    finalized windows, so the result is exactly the early-file windows."""
+    agg = _watermark_late_plan(spark, sf_dir)
     out = runtime.run_to_memory(agg, "append")
     # the sentinel's own window is never finalized (stream ends first); the
     # result is exactly the early-file windows — late-file rows are absent

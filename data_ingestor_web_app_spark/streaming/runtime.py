@@ -81,9 +81,13 @@ def write_replay_files(spark: SparkSession, sf_dir: str, n_files: int) -> str:
     return out
 
 
-def run_to_memory(sdf: DataFrame, mode: str) -> DataFrame:
+def run_to_memory(sdf: DataFrame, mode: str, progress: list | None = None) -> DataFrame:
     """Execute a streaming DataFrame to completion (availableNow) into an
     in-memory sink and return the final result table.
+
+    If ``progress`` is a list, every micro-batch's StreamingQueryProgress
+    dict is appended to it after termination — tests use this to assert on
+    state metrics (numRowsDroppedByWatermark etc.), not just final rows.
 
     In production the same writeStream targets parquet/Kafka with a real
     checkpoint dir and PROD_TRIGGER; only the sink/trigger differ — the
@@ -100,4 +104,6 @@ def run_to_memory(sdf: DataFrame, mode: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
+    if progress is not None:
+        progress.extend(q.recentProgress)
     return sdf.sparkSession.table(name)
