@@ -138,6 +138,57 @@ def prefix_filtered_pairs(toksets: DataFrame, tau: float) -> tuple[DataFrame, Da
     return candidates, verified
 
 
+@query(
+    "dedup_ngram",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, STRING_SPLIT(text, ' ') AS toks,
+               LEN(STRING_SPLIT(text, ' ')) AS n
+        FROM documents WHERE LEN(STRING_SPLIT(text, ' ')) >= 3
+    ),
+    sh AS (
+        SELECT doc_id,
+               LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, n - 1),
+                   i -> ARRAY_TO_STRING(LIST_SLICE(toks, i, i + 2), ' '))) AS shingles
+        FROM t
+    ),
+    ex AS (SELECT doc_id, UNNEST(shingles) AS s FROM sh),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT p.doc_a, p.doc_b,
+           ROUND(p.inter * 1.0 / (LEN(sa.shingles) + LEN(sb.shingles) - p.inter), 6) AS jaccard
+    FROM pairs p
+    JOIN sh sa ON sa.doc_id = p.doc_a
+    JOIN sh sb ON sb.doc_id = p.doc_b
+    WHERE p.inter * 1.0 / (LEN(sa.shingles) + LEN(sb.shingles) - p.inter) >= 0.9
+    """,
+)
+def dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram (3-token shingle) Jaccard near-dup — ORDER-SENSITIVE, unlike
+    dedup_near's token-set Jaccard: shingles capture word sequences, so only
+    documents sharing long contiguous spans pair up (the fixture plants ~25
+    such pairs at sf0.01; reordered token salad does not collide). Uses the
+    same PPJoin prefix-filter core as dedup_near over the shingle sets —
+    shingles are near-unique, so the prefix join's candidate set is tiny and
+    the operator scales to corpus sizes where even the token-set variant
+    would be too dense."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    base = d.select("doc_id", toks.alias("toks"), F.size(toks).alias("n")).where(F.col("n") >= 3)
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.col("n") - 2),
+            lambda i: F.array_join(F.slice("toks", i, 3), " "),
+        )
+    )
+    sh = base.select("doc_id", shingles.alias("toks"))
+    _candidates, verified = prefix_filtered_pairs(sh, tau=0.9)
+    return verified
+
+
 # 8 bands x 8 rows: LSH threshold (1/b)^(1/r) ~ 0.77, P(candidate | j=0.9)
 # = 1-(1-0.9^8)^8 ~ 0.99. Wider bands matter on dup-dense corpora: 4-row
 # bands (threshold 0.59) made ~half this synthetic corpus collide per band.

@@ -194,6 +194,23 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _centroids(e: DataFrame) -> DataFrame:
+    """K centroids as (c_label, centroid array): per-label means — the
+    coarse-quantizer codebook (stand-in for k-means iterations, same plan
+    shape). Tiny (K x dim): always broadcast."""
+    ue = e.select("label", F.posexplode(F.col("embedding")).alias("i", "x"))
+    return (
+        ue.groupBy("label", "i")
+        .agg(F.avg(F.col("x").cast("double")).alias("cx"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "cx"))).alias("pairs"))
+        .select(
+            F.col("label").alias("c_label"),
+            F.transform("pairs", lambda p: p.cx).alias("centroid"),
+        )
+    )
+
+
 @query(
     "sim_ivf_assign",
     oracle="""
@@ -232,18 +249,7 @@ def sim_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus. The posting lists (`assigned_centroid`) then bucket the ANN
     search to corpus/K candidates per query."""
     e = table(spark, sf_dir, "embeddings")
-    # centroids: explode to (label, i, x), mean per (label, i), re-assemble
-    ue = e.select("label", F.posexplode(F.col("embedding")).alias("i", "x"))
-    cent = (
-        ue.groupBy("label", "i")
-        .agg(F.avg(F.col("x").cast("double")).alias("cx"))
-        .groupBy("label")
-        .agg(F.array_sort(F.collect_list(F.struct("i", "cx"))).alias("pairs"))
-        .select(
-            F.col("label").alias("c_label"),
-            F.transform("pairs", lambda p: p.cx).alias("centroid"),
-        )
-    )
+    cent = _centroids(e)
     pairs = e.crossJoin(F.broadcast(cent))
     dot = F.round(_dot(F.col("embedding"), F.col("centroid")), 6)
     w = Window.partitionBy("vec_id").orderBy(F.col("centroid_dot").desc(), F.col("c_label"))
@@ -252,4 +258,122 @@ def sim_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") == 1)
         .select("vec_id", "label", F.col("c_label").alias("assigned_centroid"), "centroid_dot")
+    )
+
+
+@query(
+    "sim_ivf_topk",
+    oracle="""
+    WITH ue AS (
+        SELECT vec_id, label, UNNEST(embedding) AS x,
+               GENERATE_SUBSCRIPTS(embedding, 1) AS i
+        FROM embeddings
+    ),
+    centroids AS (
+        SELECT label AS c_label, i, AVG(CAST(x AS DOUBLE)) AS cx
+        FROM ue GROUP BY label, i
+    ),
+    cdots AS (
+        SELECT u.vec_id, c.c_label, SUM(CAST(u.x AS DOUBLE) * c.cx) AS dot
+        FROM ue u JOIN centroids c ON u.i = c.i
+        GROUP BY u.vec_id, c.c_label
+    ),
+    assign AS (
+        SELECT vec_id, c_label FROM (
+            SELECT vec_id, c_label,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY ROUND(dot, 6) DESC, c_label) AS rk
+            FROM cdots) t WHERE rk = 1
+    ),
+    probe AS (
+        SELECT vec_id AS qid, c_label FROM (
+            SELECT vec_id, c_label,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY ROUND(dot, 6) DESC, c_label) AS rk
+            FROM cdots WHERE vec_id < 20) t WHERE rk <= 2
+    ),
+    cand AS (
+        SELECT p.qid, a.vec_id AS nid
+        FROM probe p JOIN assign a ON a.c_label = p.c_label AND a.vec_id <> p.qid
+    ),
+    norms AS (
+        SELECT vec_id, SQRT(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm
+        FROM ue GROUP BY vec_id
+    ),
+    pdots AS (
+        SELECT c.qid, c.nid, SUM(CAST(qa.x AS DOUBLE) * CAST(nb.x AS DOUBLE)) AS dot
+        FROM cand c
+        JOIN ue qa ON qa.vec_id = c.qid
+        JOIN ue nb ON nb.vec_id = c.nid AND nb.i = qa.i
+        GROUP BY c.qid, c.nid
+    ),
+    cos AS (
+        SELECT d.qid, d.nid, ROUND(d.dot / (nq.nrm * nn.nrm), 6) AS cosine
+        FROM pdots d
+        JOIN norms nq ON nq.vec_id = d.qid
+        JOIN norms nn ON nn.vec_id = d.nid
+    )
+    SELECT qid, nid, cosine, rk FROM (
+        SELECT qid, nid, cosine,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rk
+        FROM cos) t WHERE rk <= 5
+    """,
+)
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full IVF ANN search — the scale path composed end-to-end: codebook →
+    posting lists → nprobe=2 probe → exact re-rank, all one Catalyst plan.
+
+    1. K broadcast centroids (per-label means, `_centroids`);
+    2. every corpus vector lands on ONE posting list (argmax dot — the
+       corpus never shuffles: broadcast join + per-row argmax);
+    3. each query (vec_id < 20) probes its top-2 centroids;
+    4. candidates = posting lists of probed centroids (~2N/K per query
+       instead of N) joined on the centroid label;
+    5. exact cosine re-rank, top-5 per query.
+
+    Deterministic at every step (dots rounded to 6dp before argmax, label /
+    nid tie-breaks), so the whole approximate-search pipeline is
+    hash-checked against the analytic oracle — not just rows-counted.
+    Recall vs the exact sim_cosine_topk is measured in pytest."""
+    e = table(spark, sf_dir, "embeddings")
+    cent = _centroids(e)
+    cdot = (
+        e.crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id",
+            "c_label",
+            F.round(_dot(F.col("embedding"), F.col("centroid")), 6).alias("dot"),
+        )
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.col("dot").desc(), F.col("c_label"))
+    assign = (
+        cdot.withColumn("rk", F.row_number().over(w_assign))
+        .where(F.col("rk") == 1)
+        .select("vec_id", "c_label")
+    )
+    probe = (
+        cdot.where(F.col("vec_id") < 20)
+        .withColumn("rk", F.row_number().over(w_assign))
+        .where(F.col("rk") <= 2)
+        .select(F.col("vec_id").alias("qid"), "c_label")
+    )
+    base = e.select("vec_id", "embedding", _norm(F.col("embedding")).alias("nrm"))
+    corpus = base.join(assign, "vec_id").select(
+        F.col("vec_id").alias("nid"), F.col("embedding").alias("ne"),
+        F.col("nrm").alias("nn"), "c_label",
+    )
+    queries = base.select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"), F.col("nrm").alias("qn")
+    )
+    cand = (
+        probe.join(queries, "qid")
+        .join(corpus, "c_label")
+        .where(F.col("nid") != F.col("qid"))
+    )
+    cos = F.round(_dot(F.col("qe"), F.col("ne")) / (F.col("qn") * F.col("nn")), 6)
+    w_rank = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("nid"))
+    return (
+        cand.select("qid", "nid", cos.alias("cosine"))
+        .withColumn("rk", F.row_number().over(w_rank))
+        .where(F.col("rk") <= 5)
     )

@@ -87,6 +87,43 @@ def test_ann_lsh_recall(spark, sf_small):
     assert all(r["cosine"] <= 1.0 for r in ann)
 
 
+def test_ivf_topk_recall_vs_exact(spark, sf_small):
+    """Every IVF-returned cosine must equal the exact cosine for that pair
+    (re-rank is exact; only candidate generation is approximate), and recall
+    must beat the random-bucket baseline. The fixture corpus is nearly
+    unclustered (measured: only ~12% of exact top-5 neighbors share the
+    query's label), so nprobe=2 of K=10 has a ~0.2 random baseline —
+    measured recall ~0.43. On a genuinely clustered corpus the same plan
+    approaches 1.0."""
+    exact = {
+        (r["qid"], r["nid"]): r["cosine"]
+        for r in QUERIES["sim_cosine_topk"](spark, sf_small).collect()
+    }
+    ivf = {
+        (r["qid"], r["nid"]): r["cosine"]
+        for r in QUERIES["sim_ivf_topk"](spark, sf_small).collect()
+    }
+    for pair, c in ivf.items():
+        if pair in exact:
+            assert c == exact[pair], pair
+    recall = len(set(ivf) & set(exact)) / len(exact)
+    assert recall >= 0.3, f"IVF recall {recall:.2f} below floor"
+
+
+def test_dedup_ngram_is_order_sensitive(spark, sf_small):
+    """Shingle Jaccard must separate shared-sequence near-dups from
+    same-token-bag reorderings: every ngram pair is also a token-set near
+    dup, but not vice versa."""
+    ngram_pairs = {
+        (r["doc_a"], r["doc_b"]) for r in QUERIES["dedup_ngram"](spark, sf_small).collect()
+    }
+    token_pairs = {
+        (r["doc_a"], r["doc_b"]) for r in QUERIES["dedup_near"](spark, sf_small).collect()
+    }
+    assert ngram_pairs, "fixture plants shingle near-dups; none found"
+    assert len(token_pairs) > len(ngram_pairs)  # bag-level dups are denser
+
+
 def test_mm_decode_image_real_codec(spark, sf_small):
     out = QUERIES["mm_decode_image"](spark, sf_small)
     assert out.columns == ["doc_id", "width", "height", "sum_intensity", "mean_intensity"]

@@ -48,7 +48,9 @@ EXPECTED = {
     "sim_ivf_assign", "join_bucketed_colocated",
     # LLM pipeline
     "dedup_exact", "dedup_near", "dedup_minhash_lsh", "dedup_simhash",
-    "sim_cosine_topk", "sim_pairwise_threshold", "sim_ann_lsh",
+    "sim_cosine_topk", "sim_pairwise_threshold", "sim_ann_lsh", "sim_ivf_topk",
+    "dedup_ngram", "retention_prune", "join_asof_banded",
+    "mm_decode_image", "mm_decode_audio",
     "text_tokenize_wordcount", "text_stats", "text_filter_quality", "text_langid",
     "text_token_count", "text_fingerprint", "text_chunk_overlap", "pipeline_training_corpus", "text_rolling_hash",
     "mm_metadata", "mm_decode_image", "mm_decode_audio", "mm_frame_sample",
