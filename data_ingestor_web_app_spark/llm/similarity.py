@@ -365,9 +365,12 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = base.select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"), F.col("nrm").alias("qn")
     )
+    # broadcast the (query x probed-centroid) side: it is BOUNDED (queries
+    # are an explicit small set), and joining on c_label alone has only K
+    # distinct keys — a shuffle on it would put 1/K of the corpus on one
+    # reducer. With the broadcast the corpus never shuffles at all.
     cand = (
-        probe.join(queries, "qid")
-        .join(corpus, "c_label")
+        corpus.join(F.broadcast(probe.join(queries, "qid")), "c_label")
         .where(F.col("nid") != F.col("qid"))
     )
     cos = F.round(_dot(F.col("qe"), F.col("ne")) / (F.col("qn") * F.col("nn")), 6)
