@@ -1,0 +1,285 @@
+"""Round-2 vector operators: embedding-cosine near-dup dedup, k-means
+codebook refinement (unrolled Lloyd iterations), multi-probe LSH.
+
+Same determinism discipline as llm/similarity.py: all vector math is
+JVM-side higher-order functions, doubles everywhere, dots/averages rounded
+to 6dp before any argmax or comparison so the DuckDB oracle replays the
+exact same decisions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_ingestor_web_app_spark.io import table
+from data_ingestor_web_app_spark.llm.similarity import _dot, _hyperplanes, _norm
+from data_ingestor_web_app_spark.registry import query
+
+# Shared oracle fragment: exploded embeddings + label-mean codebook +
+# rounded per-centroid dots (1-based i from GENERATE_SUBSCRIPTS).
+_ORACLE_UE_C0 = """
+    ue AS (
+        SELECT vec_id, label, UNNEST(embedding) AS x,
+               GENERATE_SUBSCRIPTS(embedding, 1) AS i
+        FROM embeddings
+    ),
+    c0 AS (
+        SELECT label AS c_label, i, ROUND(AVG(CAST(x AS DOUBLE)), 6) AS cx
+        FROM ue GROUP BY label, i
+    )
+"""
+
+
+@query(
+    "dedup_embedding",
+    oracle=f"""
+    WITH {_ORACLE_UE_C0},
+    dots0 AS (
+        SELECT u.vec_id, c.c_label, ROUND(SUM(CAST(u.x AS DOUBLE) * c.cx), 6) AS dot
+        FROM ue u JOIN c0 c ON u.i = c.i
+        GROUP BY u.vec_id, c.c_label
+    ),
+    assign AS (
+        SELECT vec_id, c_label FROM (
+            SELECT vec_id, c_label,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY dot DESC, c_label) AS rk
+            FROM dots0) t WHERE rk = 1
+    ),
+    norms AS (
+        SELECT vec_id, SQRT(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm
+        FROM ue GROUP BY vec_id
+    ),
+    cand AS (
+        SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+        FROM assign a JOIN assign b
+          ON a.c_label = b.c_label AND a.vec_id < b.vec_id
+    ),
+    pdots AS (
+        SELECT c.doc_a, c.doc_b, SUM(CAST(ua.x AS DOUBLE) * CAST(ub.x AS DOUBLE)) AS dot
+        FROM cand c
+        JOIN ue ua ON ua.vec_id = c.doc_a
+        JOIN ue ub ON ub.vec_id = c.doc_b AND ub.i = ua.i
+        GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT p.doc_a, p.doc_b,
+           ROUND(p.dot / (na.nrm * nb.nrm), 6) AS cosine
+    FROM pdots p
+    JOIN norms na ON na.vec_id = p.doc_a
+    JOIN norms nb ON nb.vec_id = p.doc_b
+    JOIN documents da ON da.doc_id = p.doc_a
+    JOIN documents db ON db.doc_id = p.doc_b
+    WHERE p.dot / (na.nrm * nb.nrm) >= 0.35
+    """,
+)
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup over the documents table (doc_id joins
+    embeddings.vec_id 1:1): candidate pairs come from IVF coarse-quantizer
+    BLOCKING — both docs must land on the same broadcast-codebook centroid —
+    then the exact cosine >= 0.35 verifies each candidate. Keep-rule is
+    lowest id (doc_a < doc_b, so doc_a is the keeper of each pair).
+
+    Scale: this is the embedding twin of dedup_minhash_lsh — candidates per
+    bucket are ~N/K, never all-pairs. The blocking step never shuffles the
+    corpus (broadcast centroids + per-row argmax); the pair join shuffles on
+    the centroid label only within buckets. Blocking recall (<1 near
+    centroid boundaries, like any ANN blocker) is measured in pytest against
+    the bounded all-pairs truth; the hash check proves Spark and the oracle
+    agree on the same blocked candidate set and cosines."""
+    e = table(spark, sf_dir, "embeddings")
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    base = (
+        e.join(d, e.vec_id == d.doc_id)
+        .select("doc_id", "embedding", _norm(F.col("embedding")).alias("nrm"))
+    )
+    cent = _label_means(e)
+    cdot = base.crossJoin(F.broadcast(cent)).select(
+        "doc_id", "c_label", F.round(_dot(F.col("embedding"), F.col("centroid")), 6).alias("dot")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("dot").desc(), F.col("c_label"))
+    assign = (
+        cdot.withColumn("rk", F.row_number().over(w)).where(F.col("rk") == 1).select("doc_id", "c_label")
+    )
+    blocked = base.join(assign, "doc_id")
+    a = blocked.select(
+        F.col("doc_id").alias("doc_a"), F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"), "c_label",
+    )
+    b = blocked.select(
+        F.col("doc_id").alias("doc_b"), F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"), "c_label",
+    )
+    raw_cos = _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    return (
+        a.join(b, ["c_label"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("raw_cos", raw_cos)
+        .where(F.col("raw_cos") >= 0.35)
+        .select("doc_a", "doc_b", F.round("raw_cos", 6).alias("cosine"))
+    )
+
+
+def _label_means(e: DataFrame) -> DataFrame:
+    """(c_label, centroid) codebook from per-label means, each component
+    ROUNDED to 6dp — rounding at every iteration boundary is what keeps the
+    Spark and DuckDB k-means trajectories bit-identical."""
+    ue = e.select(F.col("label").alias("c_label"), F.posexplode("embedding").alias("i", "x"))
+    return _means_from(ue)
+
+
+def _means_from(ue: DataFrame) -> DataFrame:
+    """(c_label, i, x) rows -> (c_label, centroid array) with 6dp means."""
+    return (
+        ue.groupBy("c_label", "i")
+        .agg(F.round(F.avg(F.col("x").cast("double")), 6).alias("cx"))
+        .groupBy("c_label")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "cx"))).alias("pairs"))
+        .select("c_label", F.transform("pairs", lambda p: p.cx).alias("centroid"))
+    )
+
+
+def _assign_nearest(e: DataFrame, cent: DataFrame) -> DataFrame:
+    """(vec_id, embedding, c_label): argmax-dot assignment against a
+    broadcast codebook — rounded dot, c_label tie-break, corpus never
+    shuffles."""
+    cdot = e.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "embedding", "c_label",
+        F.round(_dot(F.col("embedding"), F.col("centroid")), 6).alias("dot"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("dot").desc(), F.col("c_label"))
+    return (
+        cdot.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("vec_id", "embedding", "c_label")
+    )
+
+
+# One Lloyd iteration, unrolled twice in both engines: assign to nearest
+# rounded centroid (dot argmax, label tie-break), recompute 6dp means.
+_ORACLE_LLOYD_ITER = """
+    dots{k} AS (
+        SELECT u.vec_id, c.c_label, ROUND(SUM(CAST(u.x AS DOUBLE) * c.cx), 6) AS dot
+        FROM ue u JOIN c{j} c ON u.i = c.i
+        GROUP BY u.vec_id, c.c_label
+    ),
+    a{k} AS (
+        SELECT vec_id, c_label FROM (
+            SELECT vec_id, c_label,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY dot DESC, c_label) AS rk
+            FROM dots{k}) t WHERE rk = 1
+    ),
+    c{k} AS (
+        SELECT a.c_label, u.i, ROUND(AVG(CAST(u.x AS DOUBLE)), 6) AS cx
+        FROM a{k} a JOIN ue u ON u.vec_id = a.vec_id
+        GROUP BY a.c_label, u.i
+    )
+"""
+
+
+@query(
+    "sim_kmeans_iter",
+    oracle=f"""
+    WITH {_ORACLE_UE_C0},
+    {_ORACLE_LLOYD_ITER.format(k=1, j=0)},
+    {_ORACLE_LLOYD_ITER.format(k=2, j=1)}
+    SELECT c_label, i - 1 AS i, cx, n_members FROM c2
+    JOIN (SELECT c_label AS cl, COUNT(*) AS n_members FROM a2 GROUP BY c_label) m
+      ON m.cl = c2.c_label
+    """,
+)
+def sim_kmeans_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means codebook refinement for IVF — two unrolled Lloyd iterations
+    as ONE Catalyst plan: init = per-label means, then twice (assign every
+    vector to its argmax-dot centroid, recompute 6dp per-dimension means).
+    Output is the refined codebook, one row per (centroid, dimension), plus
+    each centroid's member count.
+
+    Scale shape per iteration: the codebook is K x dim (tiny, broadcast);
+    assignment is a per-row argmax — the corpus is scanned, never shuffled;
+    the mean recompute shuffles only K x dim partial (sum, count) pairs
+    thanks to map-side partial aggregation. Iterations compose as plan
+    depth, not data movement. Rounding the centroids to 6dp at every
+    iteration boundary makes the whole trajectory — assignments included —
+    reproducible bit-exactly in the DuckDB oracle (driver hash check), which
+    is how the operator is verified without a clustering-quality proxy."""
+    e = table(spark, sf_dir, "embeddings")
+    cent = _label_means(e)
+    for _ in range(2):
+        assigned = _assign_nearest(e, cent)
+        ue = assigned.select("c_label", F.posexplode("embedding").alias("i", "x"))
+        cent = _means_from(ue)
+        last_assigned = assigned
+    members = last_assigned.groupBy("c_label").agg(F.count("*").alias("n_members"))
+    return (
+        cent.select("c_label", F.posexplode("centroid").alias("i", "cx"))
+        .join(F.broadcast(members), "c_label")
+        .select("c_label", "i", "cx", "n_members")
+    )
+
+
+@query("sim_ann_multiprobe")  # rows-only: ANN recall is strategy-specific
+def sim_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH ANN — same random-hyperplane buckets as sim_ann_lsh,
+    but each QUERY additionally probes the two buckets reached by flipping
+    its lowest-|margin| sign bits (the classic multi-probe trick: a point
+    near a hyperplane is likely bucketed on either side of it). Corpus rows
+    stay in exactly ONE bucket — index size is unchanged; only the query
+    fan-out grows 3x, raising recall without touching the stored index.
+    Candidates = bucket join, exact cosine re-rank, top-3 per query.
+    pytest measures recall vs exact top-3 and asserts it beats single-probe
+    sim_ann_lsh."""
+    e = table(spark, sf_dir, "embeddings")
+    planes = _hyperplanes()
+    plane_cols = [
+        F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                F.array(*[F.lit(v) for v in plane]),
+                lambda x, y: x.cast("double") * y,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        for plane in planes
+    ]
+    bucket = None
+    for i, pc in enumerate(plane_cols):
+        bit = F.when(pc > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    margins = F.array_sort(
+        F.array(*[F.struct(F.abs(pc).alias("m"), F.lit(i).alias("i")) for i, pc in enumerate(plane_cols)])
+    )
+    base = e.select(
+        "vec_id", "embedding",
+        bucket.alias("bucket"),
+        margins.alias("margins"),
+        _norm(F.col("embedding")).alias("nrm"),
+    )
+    # corpus: one bucket per vector (the stored index)
+    corpus = base.select(
+        F.col("vec_id").alias("nid"), F.col("embedding").alias("ne"),
+        F.col("nrm").alias("nn"), "bucket",
+    )
+    # queries: probe own bucket + the two lowest-margin bit flips
+    q = base.select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"),
+        F.explode(
+            F.array(
+                F.col("bucket"),
+                F.expr("bucket ^ shiftleft(1, margins[0].i)"),
+                F.expr("bucket ^ shiftleft(1, margins[1].i)"),
+            )
+        ).alias("bucket"),
+    )
+    cand = q.join(corpus, ["bucket"]).where(F.col("qid") != F.col("nid"))
+    cos = F.round(_dot(F.col("qe"), F.col("ne")) / (F.col("qn") * F.col("nn")), 6)
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("nid"))
+    return (
+        cand.select("qid", "nid", cos.alias("cosine"))
+        .distinct()
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+    )

@@ -48,6 +48,10 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.aggregates",
     "data_ingestor_web_app_spark.operators.windows",
     "data_ingestor_web_app_spark.operators.setops",
+    # round-2 additions: appended AFTER the verified core so the driver's
+    # first-50 window (see comment above) is untouched.
+    "data_ingestor_web_app_spark.operators.tpch_extra",
+    "data_ingestor_web_app_spark.llm.vector_extra",
 ]
 
 

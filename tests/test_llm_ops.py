@@ -280,3 +280,80 @@ def test_cosine_crosscheck_duckdb_builtin(spark, sf_small):
     }
     for r in ours:
         assert abs(r["cosine"] - native[(r["qid"], r["nid"])]) < 1e-4, (r, native[(r["qid"], r["nid"])])
+
+
+def test_multiprobe_recall_beats_single_probe(spark, sf_small):
+    """Multi-probe LSH must dominate single-probe: every single-probe
+    candidate bucket is also probed by multi-probe, so its top-3 recall vs
+    the exact answer can only go up (strictly, for this corpus)."""
+    exact = QUERIES["sim_cosine_topk"](spark, sf_small)
+    exact_top3 = {
+        (r["qid"], r["nid"]) for r in exact.collect() if r["rk"] <= 3
+    }
+    single = {
+        (r["qid"], r["nid"])
+        for r in QUERIES["sim_ann_lsh"](spark, sf_small).collect()
+        if r["qid"] < 20
+    }
+    multi = {
+        (r["qid"], r["nid"])
+        for r in QUERIES["sim_ann_multiprobe"](spark, sf_small).collect()
+        if r["qid"] < 20
+    }
+    r_single = len(single & exact_top3) / len(exact_top3)
+    r_multi = len(multi & exact_top3) / len(exact_top3)
+    assert r_multi >= r_single, (r_multi, r_single)
+
+
+def test_dedup_embedding_blocking_recall(spark, sf_small):
+    """IVF blocking is approximate; measure its recall against the bounded
+    all-pairs truth (cosine >= 0.35 over the full corpus) and assert no
+    false positives (every returned cosine is exact and above threshold)."""
+    from data_ingestor_web_app_spark.io import table
+    from data_ingestor_web_app_spark.llm.similarity import _dot, _norm
+
+    e = table(spark, sf_small, "embeddings")
+    base = e.select("vec_id", "embedding", _norm(F.col("embedding")).alias("nrm"))
+    a = base.select(F.col("vec_id").alias("doc_a"), F.col("embedding").alias("ea"), F.col("nrm").alias("na"))
+    b = base.select(F.col("vec_id").alias("doc_b"), F.col("embedding").alias("eb"), F.col("nrm").alias("nb"))
+    cos = _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    truth = {
+        (r["doc_a"], r["doc_b"])
+        for r in a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .withColumn("c", cos)
+        .where(F.col("c") >= 0.35)
+        .collect()
+    }
+    blocked = {
+        (r["doc_a"], r["doc_b"]): r["cosine"]
+        for r in QUERIES["dedup_embedding"](spark, sf_small).collect()
+    }
+    assert set(blocked) <= truth  # exact verification → no false positives
+    if truth:
+        recall = len(set(blocked) & truth) / len(truth)
+        assert recall >= 0.2, f"blocking recall {recall:.2f} below floor ({len(truth)} true pairs)"
+    assert all(c >= 0.35 for c in blocked.values())
+
+
+def test_kmeans_iter_reduces_quantization_error(spark, sf_small):
+    """Lloyd's algorithm monotonicity: the refined codebook's mean max-dot
+    (similarity to assigned centroid) must be >= the init codebook's."""
+    from data_ingestor_web_app_spark.io import table
+    from data_ingestor_web_app_spark.llm.similarity import _dot
+    from data_ingestor_web_app_spark.llm.vector_extra import _assign_nearest, _label_means, _means_from
+
+    e = table(spark, sf_small, "embeddings")
+
+    def mean_best_dot(cent):
+        cdot = e.crossJoin(F.broadcast(cent)).select(
+            "vec_id", F.round(_dot(F.col("embedding"), F.col("centroid")), 6).alias("dot")
+        )
+        best = cdot.groupBy("vec_id").agg(F.max("dot").alias("m"))
+        return best.agg(F.avg("m")).collect()[0][0]
+
+    c0 = _label_means(e)
+    init_score = mean_best_dot(c0)
+    a1 = _assign_nearest(e, c0)
+    c1 = _means_from(a1.select("c_label", F.posexplode("embedding").alias("i", "x")))
+    refined_score = mean_best_dot(c1)
+    assert refined_score >= init_score - 1e-6, (refined_score, init_score)

@@ -97,3 +97,38 @@ def test_bucketed_join_has_no_exchange(spark, sf_small):
     assert "Exchange hashpartitioning(o_orderkey" not in p
     assert "Exchange hashpartitioning(l_orderkey" not in p
     assert "SelectedBucketsCount" in p or "Bucketed: true" in p
+
+
+def test_tpch_q5_broadcasts_dims_and_avoids_cartesian(spark, sf_small):
+    p = plan(spark, "tpch_q5", sf_small)
+    # region->nation->supplier chain must be broadcast; facts meet via shuffle
+    assert p.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in p
+
+
+def test_tpch_q19_pushes_single_table_residues(spark, sf_small):
+    p = plan(spark, "tpch_q19", sf_small)
+    assert "BroadcastHashJoin" in p  # part stays a broadcast dim
+    # Catalyst must extract the l_quantity-only residue of the OR-of-ANDs
+    # and push it into the lineitem parquet scan
+    pushed = p.split("PushedFilters")[1].split("]")[0]
+    assert "l_quantity" in pushed, pushed
+
+
+def test_tpch_q22_anti_join_no_cartesian(spark, sf_small):
+    p = plan(spark, "tpch_q22", sf_small)
+    assert "LeftAnti" in p
+    assert "CartesianProduct" not in p
+
+
+def test_kmeans_assignment_broadcasts_codebook(spark, sf_small):
+    # the codebook cross join must be a broadcast (tiny K x dim side), and
+    # the corpus must never hit a cartesian/sort-merge product
+    p = plan(spark, "sim_kmeans_iter", sf_small)
+    assert "BroadcastNestedLoopJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_dedup_embedding_blocks_not_all_pairs(spark, sf_small):
+    p = plan(spark, "dedup_embedding", sf_small)
+    assert "CartesianProduct" not in p  # pair join rides the c_label block key
