@@ -19,16 +19,47 @@ from data_ingestor_web_app_spark.registry import query
     """,
 )
 def sort_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-key sort. The driver's hash is order-insensitive, so the sort
-    position is materialized as `pos` to make ordering checkable. The global
-    row_number is a single-partition window — fine for a filtered result;
-    a full-table global sort at 100 TB would use orderBy (range-partitioned
-    TakeOrdered/Sort) without the position column, or zipWithIndex-style
-    partition-offset arithmetic."""
+    """Multi-key sort with a materialized global position (`pos`), computed
+    WITHOUT a single-partition window — the scalable global-row_number
+    idiom:
+
+    1. range-partition on the sort keys (each partition owns a contiguous
+       key range, ascending by partition id — exactly what a global sort
+       does under the hood), sort within partitions;
+    2. row_number per partition (window partitioned by spark_partition_id —
+       parallel, no data movement);
+    3. global pos = local row_number + the total count of all earlier
+       partitions. The per-partition counts are a tiny (n_partitions rows)
+       aggregate; the running offset comes from a triangle self-join on that
+       tiny side (not a window, so nothing ever coalesces to one partition),
+       broadcast back onto the data.
+
+    Same answer as ROW_NUMBER() OVER (ORDER BY ...) — the oracle proves it —
+    but every stage is partition-parallel at 100 TB."""
+    keys = [F.col("c_mktsegment").asc(), F.col("c_acctbal").desc(), F.col("c_custkey").asc()]
     c = table(spark, sf_dir, "customer").where(F.col("c_acctbal") > 8000)
-    w = Window.orderBy(F.col("c_mktsegment").asc(), F.col("c_acctbal").desc(), F.col("c_custkey").asc())
-    return c.select(
-        "c_custkey", "c_mktsegment", "c_acctbal", F.row_number().over(w).alias("pos")
+    ranged = (
+        c.select("c_custkey", "c_mktsegment", "c_acctbal")
+        .repartitionByRange(8, *keys)
+        .withColumn("pid", F.spark_partition_id())
+    )
+    w_local = Window.partitionBy("pid").orderBy(*keys)
+    local = ranged.withColumn("lrk", F.row_number().over(w_local))
+    counts = local.groupBy("pid").agg(F.count("*").alias("n"))
+    earlier = counts.select(F.col("pid").alias("epid"), F.col("n").alias("en"))
+    offsets = (
+        counts.join(F.broadcast(earlier), F.col("epid") < F.col("pid"), "left")
+        .groupBy("pid")
+        .agg(F.coalesce(F.sum("en"), F.lit(0)).alias("off"))
+    )
+    return (
+        local.join(F.broadcast(offsets), "pid")
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            "c_acctbal",
+            (F.col("lrk") + F.col("off")).cast("int").alias("pos"),
+        )
     )
 
 

@@ -38,21 +38,32 @@ from data_ingestor_web_app_spark.registry import query
 )
 def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q3 shape — shipping-priority revenue: segment filter on the customer
-    dim (broadcast), date split between order and ship dates, group by
-    order, global top-10 by revenue (TakeOrdered heap, no global sort)."""
+    dim (broadcast), date split between order and ship dates, global top-10
+    by revenue (TakeOrdered heap, no global sort).
+
+    Eager aggregation pushdown: the revenue sum depends ONLY on lineitem
+    and its full grouping key is l_orderkey, so lineitem collapses to one
+    partial row per order BEFORE any join (map-side partials make the
+    shuffle carry ~#orders rows, not ~#lines). The joins then act as a
+    semi-filter over the partials — no re-aggregation needed."""
     c = table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
     o = table(spark, sf_dir, "orders").where(
         F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
     )
-    li = table(spark, sf_dir, "lineitem").where(
-        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    li_rev = (
+        table(spark, sf_dir, "lineitem")
+        .where(F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp"))
+        .groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("raw_rev"))
     )
     return (
-        F.broadcast(c)
-        .join(o, o.o_custkey == c.c_custkey)
-        .join(li, li.l_orderkey == o.o_orderkey)
-        .groupBy("l_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"))
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        li_rev.join(o, F.col("l_orderkey") == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.round("raw_rev", 2).alias("revenue"),
+        )
         .orderBy(F.col("revenue").desc(), "l_orderkey")
         .limit(10)
     )
@@ -112,20 +123,35 @@ def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q10 — returned-item reporting: quarter of orders, returned lines
-    only, revenue per customer with nation dim, top-20."""
+    only, revenue per customer with nation dim, top-20.
+
+    Two-level eager aggregation pushdown: lineitem collapses to per-order
+    revenue partials before joining orders (shuffle carries ~#orders rows),
+    then the surviving partials collapse again to per-customer sums BEFORE
+    the customer dim join — so the join with customer is 1:1 on c_custkey
+    and no post-join aggregation exists at all. Rounding happens once, on
+    the final per-customer sum."""
     c = table(spark, sf_dir, "customer")
     n = F.broadcast(table(spark, sf_dir, "nation"))
     o = table(spark, sf_dir, "orders").where(
         (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
     )
-    li = table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    li_rev = (
+        table(spark, sf_dir, "lineitem")
+        .where(F.col("l_returnflag") == "R")
+        .groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("order_rev"))
+    )
+    cust_rev = (
+        li_rev.join(o, F.col("l_orderkey") == o.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.round(F.sum("order_rev"), 2).alias("revenue"))
+    )
     return (
-        c.join(n, n.n_nationkey == c.c_nationkey)
-        .join(o, o.o_custkey == c.c_custkey)
-        .join(li, li.l_orderkey == o.o_orderkey)
-        .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        cust_rev.join(c, F.col("o_custkey") == c.c_custkey)
+        .join(n, n.n_nationkey == c.c_nationkey)
+        .select("c_custkey", "c_name", "n_name", "c_acctbal", "revenue")
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
     )

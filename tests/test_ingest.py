@@ -150,3 +150,27 @@ def test_floor_ceil_round_properties(spark):
         .count()
     )
     assert bad == 0
+
+
+def test_batch_observation_metrics(spark, sf_small):
+    """R15/R16 batch analogue via the Observation API: global counters
+    (records, bytes, WARN count) ride the ingest job itself — collected by
+    the driver from task metrics at action time, no second pass over the
+    data (the streaming twin is stream_metrics_observe)."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from data_ingestor_web_app_spark.registry import QUERIES
+
+    obs = Observation("ingest_totals")
+    df = QUERIES["ingest_records"](spark, sf_small).observe(
+        obs,
+        F.count(F.lit(1)).alias("n_records"),
+        F.sum("byte_count").alias("total_bytes"),
+        F.sum(F.when(F.col("level") == "WARN", 1).otherwise(0)).alias("n_warn"),
+    )
+    rows = df.collect()  # one action drives both the result and the metrics
+    got = obs.get
+    assert got["n_records"] == len(rows)
+    assert got["total_bytes"] == sum(r["byte_count"] for r in rows)
+    assert got["n_warn"] == sum(1 for r in rows if r["level"] == "WARN")

@@ -132,3 +132,21 @@ def test_kmeans_assignment_broadcasts_codebook(spark, sf_small):
 def test_dedup_embedding_blocks_not_all_pairs(spark, sf_small):
     p = plan(spark, "dedup_embedding", sf_small)
     assert "CartesianProduct" not in p  # pair join rides the c_label block key
+
+
+def test_sort_multi_never_single_partition(spark, sf_small):
+    # global row_number via range partition + offsets — no Exchange
+    # SinglePartition anywhere in the plan
+    p = plan(spark, "sort_multi", sf_small)
+    assert "SinglePartition" not in p
+    assert "rangepartitioning" in p
+
+
+def test_q3_q10_aggregate_below_join(spark, sf_small):
+    # eager aggregation pushdown: the lineitem HashAggregate must sit BELOW
+    # the dim joins (plan strings print root-first, so the join's index is
+    # smaller than the aggregate's)
+    for name in ["tpch_q3", "tpch_q10"]:
+        p = plan(spark, name, sf_small)
+        assert "BroadcastHashJoin" in p and "HashAggregate" in p, name
+        assert p.index("BroadcastHashJoin") < p.index("HashAggregate"), name
