@@ -52,6 +52,7 @@ _MODULES = [
     # first-50 window (see comment above) is untouched.
     "data_ingestor_web_app_spark.operators.tpch_extra",
     "data_ingestor_web_app_spark.llm.vector_extra",
+    "data_ingestor_web_app_spark.operators.upsert",
 ]
 
 

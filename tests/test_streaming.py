@@ -240,3 +240,42 @@ def test_checkpoint_resume_after_stop(spark, sf_small, tmp_path):
         for r in table(spark, sf_small, "events").groupBy("user_id").agg(SF.count("*").alias("n")).collect()
     }
     assert got == want
+
+
+def test_admission_control_bounds_batch_size(spark, sf_small, tmp_path):
+    """R18 admission control, Spark-style: the reference sheds load by
+    capping concurrent connections (main.go: semaphore of 1000) — a
+    streaming engine instead bounds ADMITTED WORK PER MICRO-BATCH at the
+    source (maxFilesPerTrigger / maxOffsetsPerTrigger). Replaying N files
+    with maxFilesPerTrigger=1 must produce N separate batches, each
+    ingesting at most one file's rows — backpressure by admission, with no
+    records dropped overall."""
+    from pyspark.sql import functions as SF
+
+    from data_ingestor_web_app_spark.streaming import runtime
+
+    n_files = 4
+    src = runtime.write_replay_files(spark, sf_small, n_files=n_files)
+    schema = table(spark, sf_small, "events").schema
+    s = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        s.writeStream.format("memory")
+        .queryName("admission_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    progress = q.recentProgress
+    input_batches = [p for p in progress if p["numInputRows"] > 0]
+    total_rows = table(spark, sf_small, "events").count()
+    assert len(input_batches) == n_files, [p["numInputRows"] for p in input_batches]
+    for p in input_batches:
+        # one file per batch -> no batch admits more than ~1/n of the data
+        assert p["numInputRows"] <= total_rows / n_files + 1, p["numInputRows"]
+    assert spark.table("admission_test").count() == total_rows
