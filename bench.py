@@ -50,6 +50,13 @@ HEADLINE = [
     "subquery_correlated",
     "join_asof_banded",
     "pipeline_training_corpus",
+    "tpch_q5",
+    "tpch_q19",
+    "upsert_scd1",
+    "dedup_embedding",
+    "sim_kmeans_iter",
+    "events_funnel",
+    "events_cohort_retention",
 ]
 
 

@@ -53,6 +53,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.tpch_extra",
     "data_ingestor_web_app_spark.llm.vector_extra",
     "data_ingestor_web_app_spark.operators.upsert",
+    "data_ingestor_web_app_spark.operators.events_analytics",
 ]
 
 
