@@ -107,3 +107,51 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n_active"))
     )
+
+
+@query(
+    "join_salted_skew",
+    oracle="""
+    WITH dim AS (
+        SELECT DISTINCT l_returnflag AS flag,
+               'label_' || l_returnflag AS flag_label
+        FROM lineitem
+    )
+    SELECT d.flag_label,
+           COUNT(*) AS n_lines,
+           ROUND(SUM(l.l_quantity), 2) AS total_qty
+    FROM lineitem l JOIN dim d ON d.flag = l.l_returnflag
+    GROUP BY d.flag_label
+    """,
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted shuffle join for pathologically skewed keys: lineitem's join
+    key (l_returnflag) has only 3 distinct values, so a plain shuffle join
+    would put ~1/3 of a 100 TB fact table on ONE reducer. The salt spreads
+    each hot key over 16 sub-partitions: the big side gets salt =
+    hash(row) % 16, the dim side is replicated 16x (explode over the salt
+    range), and the join runs on (key, salt) — answer provably identical to
+    the unsalted join (the oracle IS the unsalted join).
+
+    This is the manual twin of AQE's skewedJoin split (which only fires on
+    sort-merge joins past size thresholds); salting also composes with
+    aggregation pushdown and works when the dim is too big to broadcast."""
+    li = table(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity")
+    dim = (
+        li.select(F.col("l_returnflag").alias("flag"))
+        .distinct()
+        .select("flag", F.concat(F.lit("label_"), F.col("flag")).alias("flag_label"))
+    )
+    n_salt = 16
+    big = li.withColumn(
+        "salt", F.pmod(F.xxhash64("l_returnflag", "l_quantity"), F.lit(n_salt))
+    )
+    dim_rep = dim.withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1))))
+    return (
+        big.join(
+            dim_rep,
+            (big.l_returnflag == dim_rep.flag) & (big.salt == dim_rep.salt),
+        )
+        .groupBy("flag_label")
+        .agg(F.count("*").alias("n_lines"), F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+    )

@@ -150,3 +150,38 @@ def test_q3_q10_aggregate_below_join(spark, sf_small):
         p = plan(spark, name, sf_small)
         assert "BroadcastHashJoin" in p and "HashAggregate" in p, name
         assert p.index("BroadcastHashJoin") < p.index("HashAggregate"), name
+
+
+def test_salted_join_shuffles_on_salt(spark, sf_small):
+    # the exchange key must include the salt — that IS the skew fix. At
+    # fixture scale AQE broadcasts the whole fact side (correctly!), which
+    # hides the shuffle posture, so force the at-scale shuffle path for the
+    # assertion by disabling broadcast joins.
+    import re
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        old_aqe = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    except Exception:
+        old_aqe = None
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        p = plan(spark, "join_salted_skew", sf_small)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        if old_aqe:
+            spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", old_aqe)
+        else:
+            spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    exchanges = re.findall(r"hashpartitioning\([^)]*\)", p)
+    assert any("salt" in e for e in exchanges), exchanges
+
+
+def test_tfidf_prunes_topk_during_sort(spark, sf_small):
+    p = plan(spark, "text_tfidf_topk", sf_small)
+    assert "WindowGroupLimit" in p
+    # ranking is per-document — the window rides a doc_id hash partitioning
+    # (the only SinglePartition exchange allowed is the one-row global-N
+    # scalar aggregate)
+    assert "hashpartitioning(doc_id" in p
