@@ -268,3 +268,63 @@ def mm_binaryfile_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("length").alias("n_bytes"),
         F.sha2("content", 256).alias("content_sha256"),
     )
+
+
+@query(
+    "mm_resize_image",
+    oracle="""
+    WITH docs AS (
+        SELECT doc_id, 16 + doc_id % 16 AS w, 16 + (doc_id * 3) % 16 AS h
+        FROM documents WHERE doc_id < 200
+    ),
+    ys AS (SELECT doc_id, w, h, UNNEST(RANGE(8)) AS ry FROM docs),
+    px AS (SELECT doc_id, w, h, ry, UNNEST(RANGE(8)) AS rx FROM ys),
+    mapped AS (
+        SELECT doc_id, w, h, ry, rx,
+               CAST(FLOOR(rx * w / 8.0) AS BIGINT) AS sx,
+               CAST(FLOOR(ry * h / 8.0) AS BIGINT) AS sy
+        FROM px
+    )
+    SELECT doc_id,
+           CAST(8 AS INT) AS rw, CAST(8 AS INT) AS rh,
+           CAST(SUM((sx * 7 + sy * 13 + doc_id) % 256) AS BIGINT) AS sum_resized,
+           CAST(MAX((sx * 7 + sy * 13 + doc_id) % 256) AS INT) AS max_resized
+    FROM mapped GROUP BY doc_id
+    """,
+)
+def mm_resize_image(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize: decode the PNG (CRC-verified stdlib codec), then
+    nearest-neighbor resample every image to a fixed 8x8 thumbnail — the
+    normalize-before-embedding stage of a multimodal training pipeline.
+    Source pixel for thumbnail (rx, ry) is (floor(rx*w/8), floor(ry*h/8)),
+    so the oracle re-derives every resized pixel analytically from the
+    generator formula — the hash match proves decode AND resample are
+    bit-exact. Same Arrow-batched mapInPandas plumbing as mm_decode_image;
+    the output is a fixed 64-byte feature payload per image regardless of
+    source resolution (the property that makes downstream batching
+    uniform)."""
+    from data_ingestor_web_app_spark.llm.codecs import png_decode_gray
+
+    payloads = _image_payloads(spark, sf_dir)
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "rw": [], "rh": [], "sum_resized": [], "max_resized": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, pix = png_decode_gray(bytes(payload))
+                thumb = [
+                    pix[(ry * h // 8) * w + (rx * w // 8)]
+                    for ry in range(8)
+                    for rx in range(8)
+                ]
+                out["doc_id"].append(doc_id)
+                out["rw"].append(8)
+                out["rh"].append(8)
+                out["sum_resized"].append(sum(thumb))
+                out["max_resized"].append(max(thumb))
+            yield pd.DataFrame(out)
+
+    return payloads.mapInPandas(
+        resize_batches,
+        schema="doc_id long, rw int, rh int, sum_resized long, max_resized int",
+    )

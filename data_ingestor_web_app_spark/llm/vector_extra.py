@@ -283,3 +283,108 @@ def sim_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= 3)
     )
+
+
+# DuckDB twin of dedup_ngram's shingle pair set (kept in lockstep with
+# llm/dedup.py's dedup_ngram oracle).
+_ORACLE_NGRAM_PAIRS = """
+    t AS (
+        SELECT doc_id, STRING_SPLIT(text, ' ') AS toks,
+               LEN(STRING_SPLIT(text, ' ')) AS n
+        FROM documents WHERE LEN(STRING_SPLIT(text, ' ')) >= 3
+    ),
+    sh AS (
+        SELECT doc_id,
+               LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, n - 1),
+                   i -> ARRAY_TO_STRING(LIST_SLICE(toks, i, i + 2), ' '))) AS shingles
+        FROM t
+    ),
+    ex AS (SELECT doc_id, UNNEST(shingles) AS s FROM sh),
+    ip AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT p.doc_a, p.doc_b
+        FROM ip p
+        JOIN sh sa ON sa.doc_id = p.doc_a
+        JOIN sh sb ON sb.doc_id = p.doc_b
+        WHERE p.inter * 1.0 / (LEN(sa.shingles) + LEN(sb.shingles) - p.inter) >= 0.9
+    )
+"""
+
+
+@query(
+    "dedup_clusters",
+    oracle=f"""
+    WITH {_ORACLE_NGRAM_PAIRS},
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL SELECT doc_b, doc_a FROM pairs
+        UNION ALL SELECT doc_a, doc_a FROM pairs
+        UNION ALL SELECT doc_b, doc_b FROM pairs
+    ),
+    l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
+    l1 AS (SELECT e.dst AS node, MIN(l.label) AS label
+           FROM edges e JOIN l0 l ON l.node = e.src GROUP BY e.dst),
+    l2 AS (SELECT e.dst AS node, MIN(l.label) AS label
+           FROM edges e JOIN l1 l ON l.node = e.src GROUP BY e.dst),
+    l3 AS (SELECT e.dst AS node, MIN(l.label) AS label
+           FROM edges e JOIN l2 l ON l.node = e.src GROUP BY e.dst)
+    SELECT node AS doc_id, label AS cluster_rep,
+           CASE WHEN node = label THEN 1 ELSE 0 END AS is_keeper
+    FROM l3
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the near-dup pair graph — the union-find
+    step every dedup pipeline needs between "emit pairs" and "drop rows":
+    a document keeps only if it is its cluster's minimum id, even when
+    duplicate relations chain A~B~C without A~C ever pairing directly.
+
+    Implementation is Pregel-style min-label propagation as pure DataFrame
+    ops: edges = the dedup_ngram verified pairs symmetrized + self-loops;
+    labels init to own id; 3 unrolled rounds of
+    label(v) <- min over neighbors u of label(u). Near-dup clusters are
+    near-cliques (diameter ≤ ~2), so 3 rounds is converged; at 100 TB with
+    adversarial chains, the same round repeats until a
+    changed-count aggregate hits zero — each round is ONE shuffle keyed on
+    node, the classic distributed-CC bound (PAPERS.md: Kiveris et al.,
+    "Connected Components in MapReduce and Beyond").
+    """
+    from data_ingestor_web_app_spark.llm.dedup import prefix_filtered_pairs
+
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    base = d.select("doc_id", toks.alias("toks"), F.size(toks).alias("n")).where(F.col("n") >= 3)
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.col("n") - 2),
+            lambda i: F.array_join(F.slice("toks", i, 3), " "),
+        )
+    )
+    sh = base.select("doc_id", shingles.alias("toks"))
+    _cand, pairs = prefix_filtered_pairs(sh, tau=0.9)
+    p = pairs.select("doc_a", "doc_b").cache()
+    edges = (
+        p.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(p.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .unionByName(p.select(F.col("doc_a").alias("src"), F.col("doc_a").alias("dst")))
+        .unionByName(p.select(F.col("doc_b").alias("src"), F.col("doc_b").alias("dst")))
+    )
+    labels = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(3):
+        labels = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy(F.col("dst").alias("n2"))
+            .agg(F.min("label").alias("label"))
+            .select(F.col("n2").alias("node"), "label")
+        )
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("cluster_rep"),
+        F.when(F.col("node") == F.col("label"), 1).otherwise(0).alias("is_keeper"),
+    )

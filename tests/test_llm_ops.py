@@ -357,3 +357,22 @@ def test_kmeans_iter_reduces_quantization_error(spark, sf_small):
     c1 = _means_from(a1.select("c_label", F.posexplode("embedding").alias("i", "x")))
     refined_score = mean_best_dot(c1)
     assert refined_score >= init_score - 1e-6, (refined_score, init_score)
+
+
+def test_dedup_clusters_transitive_closure(spark, sf_small):
+    """Both endpoints of every verified near-dup pair must land in the SAME
+    cluster (even when duplicates chain A~B~C without a direct A~C pair),
+    and the representative must be the cluster's minimum doc_id."""
+    pairs = [
+        (r["doc_a"], r["doc_b"])
+        for r in QUERIES["dedup_ngram"](spark, sf_small).collect()
+    ]
+    clus = {r["doc_id"]: r["cluster_rep"] for r in QUERIES["dedup_clusters"](spark, sf_small).collect()}
+    for a, b in pairs:
+        assert clus[a] == clus[b], (a, b, clus[a], clus[b])
+    # representative = min member of its cluster
+    members = {}
+    for doc, rep in clus.items():
+        members.setdefault(rep, []).append(doc)
+    for rep, docs in members.items():
+        assert rep == min(docs), (rep, docs)
