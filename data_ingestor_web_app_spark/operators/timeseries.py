@@ -1,0 +1,139 @@
+"""Time-series rollups over the events table: bucket downsampling with
+gap-fill + last-observation-carried-forward, and OHLC aggregation — the
+hypertable/continuous-aggregate shapes of a time-series store, expressed
+as plain Catalyst plans.
+
+Bucketing uses epoch-second arithmetic (floor(epoch/width)*width) in BOTH
+engines so bucket boundaries are bit-identical; bucket timestamps emit as
+formatted strings (cross-engine date rule).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_ingestor_web_app_spark.io import table
+from data_ingestor_web_app_spark.registry import query
+
+
+@query(
+    "events_gapfill_locf",
+    oracle="""
+    WITH actual AS (
+        SELECT event_type,
+               CAST(FLOOR(EPOCH(ts) / 300) * 300 AS BIGINT) AS bucket_s,
+               ROUND(AVG(value), 4) AS avg_value,
+               COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+        SELECT MIN(bucket_s) AS lo, MAX(bucket_s) AS hi FROM actual
+    ),
+    spine AS (
+        SELECT t.event_type, g.bucket_s
+        FROM (SELECT DISTINCT event_type FROM events) t
+        CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(lo, hi, 300)) AS bucket_s
+                    FROM bounds) g
+    )
+    SELECT s.event_type,
+           STRFTIME(TO_TIMESTAMP(s.bucket_s), '%Y-%m-%d %H:%M:%S') AS bucket,
+           COALESCE(a.n, 0) AS n,
+           LAST_VALUE(a.avg_value IGNORE NULLS) OVER (
+               PARTITION BY s.event_type ORDER BY s.bucket_s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_value
+    FROM spine s
+    LEFT JOIN actual a ON a.event_type = s.event_type AND a.bucket_s = s.bucket_s
+    """,
+)
+def events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-minute downsample with gap-fill: a dense bucket spine (sequence
+    over the observed range x distinct event types) left-joins the actual
+    per-bucket averages; empty buckets carry the last observed value
+    forward (LOCF) via last(ignorenulls) over an ordered per-type window.
+
+    Scale shape: the aggregate shrinks events to one row per (type, bucket)
+    map-side; the spine is generated, not scanned (sequence+explode = no
+    input IO); the LOCF window partitions by event_type — parallel across
+    types, and for a high-cardinality partition key this is the standard
+    time-series fill plan. Bucket math is epoch arithmetic, identical in
+    both engines."""
+    e = table(spark, sf_dir, "events")
+    bucket_s = (F.floor(F.unix_timestamp("ts") / 300) * 300).cast("long")
+    actual = (
+        e.select("event_type", bucket_s.alias("bucket_s"), "value")
+        .groupBy("event_type", "bucket_s")
+        .agg(F.round(F.avg("value"), 4).alias("avg_value"), F.count("*").alias("n"))
+    )
+    bounds = actual.agg(F.min("bucket_s").alias("lo"), F.max("bucket_s").alias("hi"))
+    spine = (
+        e.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.col("lo"), F.col("hi"), F.lit(300))).alias("bucket_s"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket_s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(actual, ["event_type", "bucket_s"], "left")
+        .select(
+            "event_type",
+            F.from_unixtime("bucket_s", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+            F.coalesce("n", F.lit(0)).alias("n"),
+            F.last("avg_value", ignorenulls=True).over(w).alias("locf_value"),
+        )
+    )
+
+
+@query(
+    "events_ohlc_downsample",
+    oracle="""
+    SELECT event_type,
+           STRFTIME(TO_TIMESTAMP(CAST(FLOOR(EPOCH(ts) / 3600) * 3600 AS BIGINT)),
+                    '%Y-%m-%d %H:%M:%S') AS bucket,
+           ARG_MIN(value, ts) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           ARG_MAX(value, ts) AS close,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_ohlc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC (open/high/low/close) bars per event type — the classic
+    financial/metrics downsample. open/close are min_by/max_by on the event
+    time (timestamps are unique in the fixture, so the argmin is total);
+    high/low are plain extrema. ONE aggregation pass, fully map-side
+    partial: every task emits one candidate bar per (type, bucket), the
+    final combine keeps the arg-extrema — no window, no sort, no second
+    scan. Raw values pass through unrounded (per-row float rule: only
+    computed aggregates get rounded)."""
+    e = table(spark, sf_dir, "events")
+    bucket_s = (F.floor(F.unix_timestamp("ts") / 3600) * 3600).cast("long")
+    return (
+        e.select("event_type", bucket_s.alias("bucket_s"), "ts", "value")
+        .groupBy("event_type", "bucket_s")
+        .agg(
+            F.min_by("value", "ts").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", "ts").alias("close"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            "event_type",
+            F.from_unixtime("bucket_s", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "n",
+        )
+    )

@@ -55,6 +55,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.upsert",
     "data_ingestor_web_app_spark.operators.events_analytics",
     "data_ingestor_web_app_spark.llm.text_extra",
+    "data_ingestor_web_app_spark.operators.timeseries",
 ]
 
 
