@@ -388,3 +388,174 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("cluster_rep"),
         F.when(F.col("node") == F.col("label"), 1).otherwise(0).alias("is_keeper"),
     )
+
+
+@query(
+    "sim_rerank_mmr",
+    oracle="""
+    WITH ue AS (
+        SELECT vec_id, UNNEST(embedding) AS x,
+               GENERATE_SUBSCRIPTS(embedding, 1) AS i
+        FROM embeddings
+    ),
+    norms AS (
+        SELECT vec_id, SQRT(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm
+        FROM ue GROUP BY vec_id
+    ),
+    qdots AS (
+        SELECT q.vec_id AS qid, c.vec_id AS nid,
+               SUM(CAST(q.x AS DOUBLE) * CAST(c.x AS DOUBLE)) AS dot
+        FROM ue q JOIN ue c ON c.i = q.i AND q.vec_id < 10 AND c.vec_id <> q.vec_id
+        GROUP BY 1, 2
+    ),
+    qcos AS (
+        SELECT d.qid, d.nid,
+               CAST(ROUND(d.dot / (nq.nrm * nn.nrm) * 1e6) AS BIGINT) AS mcos
+        FROM qdots d
+        JOIN norms nq ON nq.vec_id = d.qid
+        JOIN norms nn ON nn.vec_id = d.nid
+    ),
+    cand AS (
+        SELECT qid, nid, mcos FROM (
+            SELECT qid, nid, mcos,
+                   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY mcos DESC, nid) AS rk
+            FROM qcos) t WHERE rk <= 10
+    ),
+    psims AS (
+        SELECT a.qid, a.nid AS na, b.nid AS nb,
+               CAST(ROUND(SUM(CAST(ua.x AS DOUBLE) * CAST(ub.x AS DOUBLE))
+                          / (nna.nrm * nnb.nrm) * 1e6) AS BIGINT) AS msim
+        FROM cand a
+        JOIN cand b ON b.qid = a.qid AND b.nid <> a.nid
+        JOIN ue ua ON ua.vec_id = a.nid
+        JOIN ue ub ON ub.vec_id = b.nid AND ub.i = ua.i
+        JOIN norms nna ON nna.vec_id = a.nid
+        JOIN norms nnb ON nnb.vec_id = b.nid
+        GROUP BY a.qid, a.nid, b.nid, nna.nrm, nnb.nrm
+    ),
+    s1 AS (
+        SELECT qid, nid, 7 * mcos AS score FROM (
+            SELECT qid, nid, mcos,
+                   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY mcos DESC, nid) AS rk
+            FROM cand) t WHERE rk = 1
+    ),
+    s2 AS (
+        SELECT qid, nid, score FROM (
+            SELECT c.qid, c.nid, 7 * c.mcos - 3 * p.msim AS score,
+                   ROW_NUMBER() OVER (PARTITION BY c.qid
+                                      ORDER BY 7 * c.mcos - 3 * p.msim DESC, c.nid) AS rk
+            FROM cand c
+            JOIN s1 ON s1.qid = c.qid AND c.nid <> s1.nid
+            JOIN psims p ON p.qid = c.qid AND p.na = c.nid AND p.nb = s1.nid
+        ) t WHERE rk = 1
+    ),
+    s3 AS (
+        SELECT qid, nid, score FROM (
+            SELECT c.qid, c.nid,
+                   7 * c.mcos - 3 * GREATEST(p1.msim, p2.msim) AS score,
+                   ROW_NUMBER() OVER (PARTITION BY c.qid
+                                      ORDER BY 7 * c.mcos - 3 * GREATEST(p1.msim, p2.msim) DESC,
+                                               c.nid) AS rk
+            FROM cand c
+            JOIN s1 ON s1.qid = c.qid
+            JOIN s2 ON s2.qid = c.qid
+            JOIN psims p1 ON p1.qid = c.qid AND p1.na = c.nid AND p1.nb = s1.nid
+            JOIN psims p2 ON p2.qid = c.qid AND p2.na = c.nid AND p2.nb = s2.nid
+            WHERE c.nid <> s1.nid AND c.nid <> s2.nid
+        ) t WHERE rk = 1
+    )
+    SELECT qid, nid, 1 AS pick, score FROM s1
+    UNION ALL SELECT qid, nid, 2, score FROM s2
+    UNION ALL SELECT qid, nid, 3, score FROM s3
+    """,
+)
+def sim_rerank_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-Marginal-Relevance re-ranking (Carbonell & Goldstein 1998):
+    from each query's top-10 cosine candidates, greedily pick 3 results
+    maximizing lambda*relevance - (1-lambda)*max-similarity-to-already-
+    picked (lambda=0.7) — the diversification stage between ANN retrieval
+    and an LLM context window.
+
+    Every scoring decision happens in INTEGER micro-units (mcos =
+    round(cosine*1e6) as long; score = 7*mcos - 3*msim, i.e. 10x the
+    float formula): the greedy argmax chain replays bit-exactly in the
+    DuckDB oracle with zero float-rounding exposure — the technique to
+    reach for whenever an iterative selection must be cross-engine
+    deterministic. The greedy unroll is 3 fixed steps (plan depth, not
+    driver loops); candidate sets are per-query top-10, so the pairwise
+    sim matrix is 10x10 per query regardless of corpus size."""
+    e = table(spark, sf_dir, "embeddings")
+    base = e.select("vec_id", "embedding", _norm(F.col("embedding")).alias("nrm"))
+    q = base.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"), F.col("nrm").alias("qn")
+    )
+    mcos = F.round(_dot(F.col("qe"), F.col("embedding")) / (F.col("qn") * F.col("nrm")) * 1e6).cast("long")
+    qcos = (
+        base.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+        .select("qid", F.col("vec_id").alias("nid"), mcos.alias("mcos"))
+    )
+    w_q = Window.partitionBy("qid").orderBy(F.col("mcos").desc(), F.col("nid"))
+    cand = qcos.withColumn("rk", F.row_number().over(w_q)).where(F.col("rk") <= 10).drop("rk")
+    # candidate embeddings for the pairwise sim matrix (10 per query)
+    cemb = cand.join(base, cand.nid == base.vec_id).select(
+        "qid", "nid", "mcos", "embedding", "nrm"
+    )
+    a = cemb.select("qid", F.col("nid").alias("ca"), F.col("embedding").alias("ea"), F.col("nrm").alias("ca_n"))
+    b = cemb.select("qid", F.col("nid").alias("cb"), F.col("embedding").alias("eb"), F.col("nrm").alias("cb_n"))
+    msim = F.round(_dot(F.col("ea"), F.col("eb")) / (F.col("ca_n") * F.col("cb_n")) * 1e6).cast("long")
+    psims = (
+        a.join(b, ["qid"])
+        .where(F.col("ca") != F.col("cb"))
+        .select("qid", "ca", "cb", msim.alias("msim"))
+    )
+    s1 = (
+        cand.withColumn("rk", F.row_number().over(w_q))
+        .where(F.col("rk") == 1)
+        .select("qid", F.col("nid").alias("s1_nid"), (7 * F.col("mcos")).alias("s1_score"))
+    )
+    psims_r = psims.withColumnRenamed("qid", "pq")
+    step2 = (
+        cand.join(s1, "qid")
+        .where(F.col("nid") != F.col("s1_nid"))
+        .join(
+            psims_r,
+            (F.col("pq") == F.col("qid")) & (F.col("ca") == F.col("nid")) & (F.col("cb") == F.col("s1_nid")),
+        )
+        .select("qid", "nid", (7 * F.col("mcos") - 3 * F.col("msim")).alias("score"))
+    )
+    w_s = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("nid"))
+    s2 = (
+        step2.withColumn("rk", F.row_number().over(w_s))
+        .where(F.col("rk") == 1)
+        .select("qid", F.col("nid").alias("s2_nid"), F.col("score").alias("s2_score"))
+    )
+    p1 = psims.select(
+        F.col("qid").alias("pq1"), F.col("ca").alias("ca1"),
+        F.col("cb").alias("cb1"), F.col("msim").alias("msim1"),
+    )
+    p2 = psims.select(
+        F.col("qid").alias("pq2"), F.col("ca").alias("ca2"),
+        F.col("cb").alias("cb2"), F.col("msim").alias("msim2"),
+    )
+    step3 = (
+        cand.join(s1, "qid")
+        .join(s2, "qid")
+        .where((F.col("nid") != F.col("s1_nid")) & (F.col("nid") != F.col("s2_nid")))
+        .join(p1, (F.col("pq1") == F.col("qid")) & (F.col("ca1") == F.col("nid")) & (F.col("cb1") == F.col("s1_nid")))
+        .join(p2, (F.col("pq2") == F.col("qid")) & (F.col("ca2") == F.col("nid")) & (F.col("cb2") == F.col("s2_nid")))
+        .select(
+            "qid",
+            "nid",
+            (7 * F.col("mcos") - 3 * F.greatest("msim1", "msim2")).alias("score"),
+        )
+    )
+    s3 = (
+        step3.withColumn("rk", F.row_number().over(w_s))
+        .where(F.col("rk") == 1)
+        .select("qid", F.col("nid").alias("s3_nid"), F.col("score").alias("s3_score"))
+    )
+    return (
+        s1.select("qid", F.col("s1_nid").alias("nid"), F.lit(1).alias("pick"), F.col("s1_score").alias("score"))
+        .unionByName(s2.select("qid", F.col("s2_nid").alias("nid"), F.lit(2).alias("pick"), F.col("s2_score").alias("score")))
+        .unionByName(s3.select("qid", F.col("s3_nid").alias("nid"), F.lit(3).alias("pick"), F.col("s3_score").alias("score")))
+    )

@@ -505,3 +505,23 @@ def win_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("prev_good"),
         F.last("good_value", ignorenulls=True).over(w).alias("latest_good"),
     )
+
+
+@query("agg_approx_quantile")  # rows-only: t-digest estimates are engine-specific
+def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate quantiles via percentile_approx (Greenwald-Khanna-style
+    mergeable summaries): p50/p90/p99 of order totals per order status.
+    The sketch is a fixed-size mergeable state — at 100 TB the shuffle
+    carries one summary per (group, task), never the values; the exact
+    percentile twin (agg_percentile) needs the full value multiset per
+    group. Accuracy vs exact is asserted in pytest (<=1% rank error at
+    accuracy=10000), the same verification pattern as agg_approx_distinct
+    and agg_hll_sketch."""
+    o = table(spark, sf_dir, "orders")
+    acc = F.lit(10000)
+    return o.groupBy("o_orderstatus").agg(
+        F.percentile_approx("o_totalprice", F.lit(0.5), acc).alias("p50"),
+        F.percentile_approx("o_totalprice", F.lit(0.9), acc).alias("p90"),
+        F.percentile_approx("o_totalprice", F.lit(0.99), acc).alias("p99"),
+        F.count("*").alias("n"),
+    )

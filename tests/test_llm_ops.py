@@ -376,3 +376,41 @@ def test_dedup_clusters_transitive_closure(spark, sf_small):
         members.setdefault(rep, []).append(doc)
     for rep, docs in members.items():
         assert rep == min(docs), (rep, docs)
+
+
+def test_approx_quantile_close_to_exact(spark, sf_small):
+    """percentile_approx must land within 1% RANK error of the exact
+    percentile: for each estimated pN, the fraction of values <= estimate
+    must be within 0.01 of N/100."""
+    from data_ingestor_web_app_spark.io import table
+
+    approx = {r["o_orderstatus"]: r for r in QUERIES["agg_approx_quantile"](spark, sf_small).collect()}
+    o = table(spark, sf_small, "orders")
+    for status, row in approx.items():
+        vals = sorted(
+            r["o_totalprice"]
+            for r in o.where(F.col("o_orderstatus") == status).select("o_totalprice").collect()
+        )
+        n = len(vals)
+        for pct, key in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
+            import bisect
+            rank = bisect.bisect_right(vals, row[key]) / n
+            assert abs(rank - pct) <= 0.01 + 1.0 / n, (status, key, rank, pct)
+
+
+def test_mmr_pick1_is_top1_and_picks_distinct(spark, sf_small):
+    """MMR's first pick has no diversity penalty yet, so it must equal the
+    plain cosine top-1; the three picks per query must be distinct."""
+    top1 = {
+        r["qid"]: r["nid"]
+        for r in QUERIES["sim_cosine_topk"](spark, sf_small).collect()
+        if r["rk"] == 1 and r["qid"] < 10
+    }
+    mmr = QUERIES["sim_rerank_mmr"](spark, sf_small).collect()
+    by_q = {}
+    for r in mmr:
+        by_q.setdefault(r["qid"], {})[r["pick"]] = r["nid"]
+    for qid, picks in by_q.items():
+        assert set(picks) == {1, 2, 3}
+        assert picks[1] == top1[qid], (qid, picks[1], top1[qid])
+        assert len(set(picks.values())) == 3
