@@ -5,7 +5,7 @@ query engine serving an event pipeline must run at scale.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_ingestor_web_app_spark.io import table
@@ -154,4 +154,131 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("flag_label")
         .agg(F.count("*").alias("n_lines"), F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+    )
+
+
+@query(
+    "events_pattern_detect",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, ts, event_type, value,
+               LEAD(event_type) OVER w AS next_type,
+               LEAD(ts)         OVER w AS next_ts
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           STRFTIME(ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           STRFTIME(next_ts, '%Y-%m-%d %H:%M:%S') AS error_ts,
+           CAST(FLOOR(EPOCH(next_ts) - EPOCH(ts)) AS BIGINT) AS gap_s
+    FROM seq
+    WHERE event_type = 'purchase' AND next_type = 'error'
+      AND FLOOR(EPOCH(next_ts) - EPOCH(ts)) <= 600
+    """,
+)
+def events_pattern_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style event-pattern detection with window navigation:
+    a purchase IMMEDIATELY followed (per-user event order) by an error
+    within 10 minutes — the complex-event-processing shape (fraud/alert
+    rules) without a CEP engine: lead() over a per-user ordered window.
+
+    Scale: one shuffle on user_id, then a linear per-partition scan — the
+    same cost envelope as any sessionization; no self-join on time (the
+    naive formulation) and no state machine. Longer patterns chain more
+    lead() offsets in the same single window pass. Second-resolution gap
+    math (epoch seconds) keeps sub-second timestamp precision out of the
+    cross-engine comparison."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.lead("event_type").over(w).alias("next_type"),
+        F.lead("ts").over(w).alias("next_ts"),
+    )
+    # floor of the FRACTIONAL epoch difference — unix_timestamp() truncates
+    # each side first, which disagrees with floor(a - b) on sub-second data
+    gap_s = F.floor(F.col("next_ts").cast("double") - F.col("ts").cast("double")).cast("long")
+    return (
+        seq.where(
+            (F.col("event_type") == "purchase")
+            & (F.col("next_type") == "error")
+            & (gap_s <= 600)
+        )
+        .select(
+            "user_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+            F.date_format("next_ts", "yyyy-MM-dd HH:mm:ss").alias("error_ts"),
+            gap_s.alias("gap_s"),
+        )
+    )
+
+
+@query(
+    "events_props_json_agg",
+    oracle="""
+    SELECT CAST(JSON_EXTRACT(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 2) / COUNT(*) AS avg_value,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    WHERE JSON_EXTRACT(props, '$.k') IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def events_props_json_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured aggregation over the events.props JSON column:
+    extract $.k, bucket it, aggregate per bucket — the schema-on-read path
+    every event pipeline needs for properties that never made it into
+    columns. get_json_object evaluates JVM-side (Jackson) inside codegen;
+    at 100 TB the right move is still to materialize hot JSON paths into
+    real columns at ingest (this query IS that materialization plan).
+    avg uses the round(sum,2)/n pattern (see events_gapfill_locf)."""
+    e = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        e.where(k.isNotNull())
+        .groupBy((k % 10).alias("k_bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            (F.round(F.sum("value"), 2) / F.count("*")).alias("avg_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+@query(
+    "agg_histogram",
+    oracle="""
+    WITH b AS (
+        SELECT CAST(FLOOR(value / 5.0) AS BIGINT) AS bucket
+        FROM events WHERE value >= 0 AND value < 100
+    )
+    SELECT bucket,
+           bucket * 5.0 AS lo,
+           bucket * 5.0 + 5.0 AS hi,
+           COUNT(*) AS n
+    FROM b GROUP BY bucket
+    """,
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width numeric histogram (20 buckets of width 5 over [0, 100)):
+    bucket index = floor(value/width) — integer arithmetic identical in
+    both engines (never width_bucket, which DuckDB lacks). One map-side
+    partial aggregation; the shuffle carries at most n_buckets rows per
+    task regardless of input size, the textbook distributed-histogram
+    bound."""
+    e = table(spark, sf_dir, "events")
+    bucket = F.floor(F.col("value") / 5.0).cast("long")
+    return (
+        e.where((F.col("value") >= 0) & (F.col("value") < 100))
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            "bucket",
+            (F.col("bucket") * 5.0).alias("lo"),
+            (F.col("bucket") * 5.0 + 5.0).alias("hi"),
+            "n",
+        )
     )
