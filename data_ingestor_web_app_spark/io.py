@@ -43,10 +43,12 @@ def ensure_session_confs(spark: SparkSession) -> None:
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events":
-        # ts is TIMESTAMP(NANOS) in the file; with nanosAsLong it arrives as
-        # ns-since-epoch. Truncate to µs exactly as DuckDB does (fixture data
-        # is µs-aligned, so this is lossless — FIXTURES.md).
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # ts is TIMESTAMP(NANOS) in the driver fixture; with nanosAsLong it
+        # arrives as ns-since-epoch. Truncate to µs exactly as DuckDB does
+        # (fixture data is µs-aligned, so this is lossless — FIXTURES.md).
+        # Re-written copies (scale probe, sinks) already carry a real
+        # timestamp — leave those untouched.
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 

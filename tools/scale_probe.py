@@ -23,7 +23,14 @@ from data_ingestor_web_app_spark import registry
 from data_ingestor_web_app_spark.io import TABLES, table
 from data_ingestor_web_app_spark.session import get_spark
 
-PROBES = ["agg_groupby", "scan_pruned", "join_shuffle", "join_multiway", "topk_per_group", "tpch_q6"]
+PROBES = [
+    "agg_groupby", "scan_pruned", "join_shuffle", "join_multiway",
+    "topk_per_group", "tpch_q6",
+    # round 2: fact-table-heavy additions (documents/embeddings are dims
+    # here — not replicated — so LLM ops are excluded from the probe)
+    "tpch_q5", "tpch_q10", "upsert_scd1",
+    "events_ohlc_downsample", "events_pattern_detect",
+]
 
 
 def replicate(spark, src_sf: str, mult: int) -> str:
