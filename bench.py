@@ -39,6 +39,7 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "sim_cosine_topk",
+    "sim_cosine_topk_pandas",
     "sim_ivf_assign",
     "text_tokenize_wordcount",
     "text_filter_quality",

@@ -559,3 +559,73 @@ def sim_rerank_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(s2.select("qid", F.col("s2_nid").alias("nid"), F.lit(2).alias("pick"), F.col("s2_score").alias("score")))
         .unionByName(s3.select("qid", F.col("s3_nid").alias("nid"), F.lit(3).alias("pick"), F.col("s3_score").alias("score")))
     )
+
+
+from data_ingestor_web_app_spark.registry import ORACLES as _ORACLES
+
+
+@query("sim_cosine_topk_pandas", oracle=_ORACLES["sim_cosine_topk"])
+def sim_cosine_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Arrow-vectorized twin of sim_cosine_topk — SAME oracle, SAME
+    answer, different physical strategy: instead of JVM higher-order
+    functions per row, each Arrow batch of corpus vectors becomes one numpy
+    matrix and the per-batch scores are ONE matmul against the broadcast
+    query matrix (the classic batched-BLAS ANN verifier). Partial per-batch
+    top-k candidates then reduce through the usual per-query window.
+
+    When to prefer which: the HOF plan stays entirely JVM-side (no
+    serialization) and wins at small dims; the matmul path amortizes Python
+    crossing over dim*batch work and wins as vectors widen — bench.py
+    carries both so the crossover is MEASURED, not guessed. Per-batch
+    emission is top-5-per-query within the batch (bounded output per task),
+    so the window's input is ~5*n_batches rows per query, not the corpus.
+
+    The ONLY driver-side materialization is the query matrix itself — an
+    explicitly BOUNDED set (vec_id < 20, i.e. 20x64 floats) that ships to
+    executors inside the closure exactly like a broadcast variable; the
+    corpus side streams through Arrow batches and is never collected. This
+    is the sanctioned exception to the no-collect rule (same posture as
+    broadcast dims): unbounded query sets must go through the join-based
+    sim_cosine_topk instead."""
+    import numpy as np
+
+    e = table(spark, sf_dir, "embeddings")
+    qrows = sorted(
+        (r["vec_id"], r["embedding"])
+        for r in e.where(F.col("vec_id") < 20).select("vec_id", "embedding").collect()
+    )
+    qids = np.array([q[0] for q in qrows])
+    qmat = np.array([q[1] for q in qrows], dtype=np.float64)  # (Q, D)
+    qnorm = np.sqrt((qmat * qmat).sum(axis=1))  # (Q,)
+
+    def score_batches(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            nids = pdf["vec_id"].to_numpy()
+            cmat = np.array(list(pdf["embedding"]), dtype=np.float64)  # (B, D)
+            cnorm = np.sqrt((cmat * cmat).sum(axis=1))
+            cosines = np.round((qmat @ cmat.T) / (qnorm[:, None] * cnorm[None, :]), 6)
+            out = {"qid": [], "nid": [], "cosine": []}
+            for qi in range(len(qids)):
+                row = cosines[qi]
+                mask = nids != qids[qi]
+                cand_idx = np.nonzero(mask)[0]
+                if len(cand_idx) == 0:
+                    continue
+                # per-batch partial top-5 (cosine desc, nid asc tie-break)
+                order = sorted(cand_idx, key=lambda j: (-row[j], nids[j]))[:5]
+                for j in order:
+                    out["qid"].append(qids[qi])
+                    out["nid"].append(int(nids[j]))
+                    out["cosine"].append(float(row[j]))
+            yield pd.DataFrame(out)
+
+    scored = e.select("vec_id", "embedding").mapInPandas(
+        score_batches, schema="qid long, nid long, cosine double"
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("nid"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 5)
+    )
