@@ -146,3 +146,74 @@ def events_ohlc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+@query(
+    "win_time_range",
+    oracle="""
+    SELECT event_id, user_id,
+           STRFTIME(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+           ROUND(SUM(value) OVER (
+               PARTITION BY user_id ORDER BY EPOCH(ts)
+               RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 2) AS rolling_1h_sum,
+           COUNT(*) OVER (
+               PARTITION BY user_id ORDER BY EPOCH(ts)
+               RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS rolling_1h_n
+    FROM events
+    """,
+)
+def win_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-based sliding window frame (RANGE BETWEEN 1 HOUR PRECEDING):
+    per-user rolling 1-hour sum/count at every event — the frame bound is
+    event-time distance, not row count, so bursts widen the frame and quiet
+    periods shrink it (rowsBetween cannot express this). Implemented as a
+    rangeBetween frame over fractional epoch seconds — identical numeric
+    frame in both engines. One shuffle on user_id; the frame evaluation is
+    a per-partition ordered scan with a sliding aggregate, O(n) per user."""
+    e = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("double"))
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        F.round(F.sum("value").over(w), 2).alias("rolling_1h_sum"),
+        F.count("*").over(w).alias("rolling_1h_n"),
+    )
+
+
+@query(
+    "agg_mode",
+    oracle="""
+    WITH counts AS (
+        SELECT user_id, event_type, COUNT(*) AS n
+        FROM events GROUP BY user_id, event_type
+    )
+    SELECT user_id, event_type AS mode_event, n AS mode_n FROM (
+        SELECT user_id, event_type, n,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY n DESC, event_type) AS rk
+        FROM counts) t
+    WHERE rk = 1
+    """,
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical mode per group (each user's most frequent event type,
+    ties broken alphabetically): two-level aggregation — count per
+    (user, type), then argmax per user. Both levels are map-side-partial
+    hash aggregates on the SAME user_id-prefixed key, so the second level
+    reuses the first's partitioning; the argmax window input is one row per
+    (user, type) — 5 rows per user here — never the raw events. (Spark's
+    builtin `mode` breaks ties nondeterministically, so the explicit
+    argmax with a tie-break is also the determinism-correct formulation.)"""
+    e = table(spark, sf_dir, "events")
+    counts = e.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("user_id").orderBy(F.col("n").desc(), F.col("event_type"))
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("user_id", F.col("event_type").alias("mode_event"), F.col("n").alias("mode_n"))
+    )

@@ -1,9 +1,10 @@
 """More TPC-H query shapes over the fixture schema (round 2 widening):
-Q5 (local-supplier volume), Q14 (promo revenue), Q19 (disjunctive
+Q4 (EXISTS semi-join), Q5 (local-supplier volume), Q12 (priority split),
+Q14 (promo revenue), Q17 (correlated aggregate subquery), Q19 (disjunctive
 brand/size/quantity predicate), Q22 (global-balance anti-join). Like
 operators/tpch.py, shapes are adapted where fixture columns differ from
-spec TPC-H (no l_shipmode / p_container / c_phone), keeping the plan
-structure that makes each query interesting at scale.
+spec TPC-H (no l_shipmode / p_container / c_phone / commit dates), keeping
+the plan structure that makes each query interesting at scale.
 """
 
 from __future__ import annotations
@@ -190,5 +191,113 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("numcust"),
             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
+@query(
+    "tpch_q4",
+    oracle="""
+    SELECT o.o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-10-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o.o_orderpriority
+    """,
+)
+def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 shape — order-priority checking (fixture has no commit/receipt
+    dates, so "late" = some line shipped more than 60 days after the order
+    date): EXISTS decorrelates to a LEFT SEMI join on l_orderkey. The
+    correlated ship-vs-order date predicate rides the join condition, so
+    lineitem is filtered during the semi probe — no pre-join materialization
+    of the correlated subquery."""
+    o = table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            li,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@query(
+    "tpch_q12",
+    oracle="""
+    SELECT l.l_linestatus,
+           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND l.l_shipdate > o.o_orderdate
+    GROUP BY l.l_linestatus
+    """,
+)
+def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 shape — shipping-mode priority split (l_linestatus stands in for
+    the missing l_shipmode): one shuffle join orders x filtered lineitem,
+    conditional-count split by priority class in a single aggregation pass.
+    The ship-after-order predicate is a join residual (depends on both
+    sides), evaluated during the join — never a second pass."""
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
+    li = table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, (F.col("l_orderkey") == F.col("o_orderkey")) & (F.col("l_shipdate") > F.col("o_orderdate")))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "tpch_q17",
+    oracle="""
+    SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 2) AS avg_yearly,
+           COUNT(*) AS n_small_lines
+    FROM lineitem l
+    JOIN (SELECT l_partkey, 0.2 * AVG(l_quantity) AS qty_threshold
+          FROM lineitem GROUP BY l_partkey) a
+      ON a.l_partkey = l.l_partkey
+    WHERE l.l_quantity < a.qty_threshold
+    """,
+)
+def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17 — small-quantity-order revenue: the classic correlated aggregate
+    subquery (per-part 20%-of-average threshold) decorrelated into a
+    self-join against the per-part aggregate. Both sides shuffle on
+    l_partkey — ONE exchange each, and Catalyst reuses the scan. The
+    threshold comparison stays unrounded: quantities are whole numbers and
+    the threshold is the same IEEE double in both engines, so the strict
+    inequality is cross-engine stable."""
+    li = table(spark, sf_dir, "lineitem")
+    thresh = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        (0.2 * F.avg("l_quantity")).alias("qty_threshold")
+    )
+    return (
+        li.join(thresh, F.col("l_partkey") == F.col("t_partkey"))
+        .where(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count("*").alias("n_small_lines"),
         )
     )

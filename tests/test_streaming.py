@@ -279,3 +279,67 @@ def test_admission_control_bounds_batch_size(spark, sf_small, tmp_path):
         # one file per batch -> no batch admits more than ~1/n of the data
         assert p["numInputRows"] <= total_rows / n_files + 1, p["numInputRows"]
     assert spark.table("admission_test").count() == total_rows
+
+
+def test_streaming_cdc_foreachbatch_upsert(spark, sf_small, tmp_path):
+    """Streaming CDC apply: the upsert_scd1 changelog replayed as a STREAM,
+    each micro-batch merged into a parquet snapshot via foreachBatch
+    (read-merge-overwrite — the copy-on-write MERGE loop). Final snapshot
+    must equal the one-shot batch upsert, proving the incremental path
+    converges to the batch semantics regardless of how the changelog was
+    chunked into batches."""
+    from pyspark.sql import functions as SF
+
+    from data_ingestor_web_app_spark.operators.upsert import _changelog, upsert_scd1
+
+    base = table(spark, sf_small, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    snap_dir = str(tmp_path / "snapshot")
+    base.write.mode("overwrite").parquet(snap_dir)
+
+    # replay the changelog as a file stream, one file per micro-batch
+    chg_dir = str(tmp_path / "changelog")
+    chg = _changelog(base).withColumn("part", SF.pmod("key", SF.lit(3)))
+    for i in range(3):
+        chg.where(SF.col("part") == i).drop("part").coalesce(1).write.mode(
+            "append"
+        ).parquet(chg_dir)
+    chg_schema = chg.drop("part").schema
+
+    def merge_batch(batch_df, _batch_id):
+        snap = batch_df.sparkSession.read.parquet(snap_dir)
+        b = batch_df
+        merged = (
+            snap.join(b, snap.o_orderkey == b.key, "full_outer")
+            .where(SF.coalesce(SF.col("op"), SF.lit("")) != "D")
+            .select(
+                SF.coalesce(SF.col("key"), SF.col("o_orderkey")).alias("o_orderkey"),
+                SF.coalesce(SF.col("new_status"), SF.col("o_orderstatus")).alias("o_orderstatus"),
+                SF.coalesce(SF.col("new_totalprice"), SF.col("o_totalprice")).alias("o_totalprice"),
+            )
+        )
+        merged.cache().count()  # materialize BEFORE overwriting the input
+        merged.write.mode("overwrite").parquet(snap_dir)
+        merged.unpersist()
+
+    q = (
+        spark.readStream.schema(chg_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(chg_dir)
+        .writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = {
+        r["o_orderkey"]: (r["o_orderstatus"], round(r["o_totalprice"], 2))
+        for r in spark.read.parquet(snap_dir).collect()
+    }
+    want = {
+        r["o_orderkey"]: (r["o_orderstatus"], r["o_totalprice"])
+        for r in upsert_scd1(spark, sf_small).collect()
+    }
+    assert got == want
