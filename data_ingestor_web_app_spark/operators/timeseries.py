@@ -217,3 +217,35 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") == 1)
         .select("user_id", F.col("event_type").alias("mode_event"), F.col("n").alias("mode_n"))
     )
+
+
+@query(
+    "agg_corr_covar",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(CORR(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 4) AS covar_qty_price,
+           ROUND(STDDEV_SAMP(l_quantity), 6) AS stddev_qty,
+           ROUND(VAR_SAMP(l_discount), 6) AS var_disc,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistics per group: Pearson correlation, sample
+    covariance, stddev, variance — one aggregation pass. All four are
+    algebraic aggregates with constant-size mergeable state (sum, sum-of-
+    squares, sum-of-products, count), so map-side partials reduce the
+    shuffle to one state tuple per (group, task) no matter the input size —
+    same scale envelope as plain SUM. Results rounded in both engines
+    (aggregate-float rule); the moments accumulate in the same IEEE doubles
+    either side."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("covar_qty_price"),
+        F.round(F.stddev_samp("l_quantity"), 6).alias("stddev_qty"),
+        F.round(F.var_samp("l_discount"), 6).alias("var_disc"),
+        F.count("*").alias("n"),
+    )

@@ -185,3 +185,21 @@ def test_tfidf_prunes_topk_during_sort(spark, sf_small):
     # (the only SinglePartition exchange allowed is the one-row global-N
     # scalar aggregate)
     assert "hashpartitioning(doc_id" in p
+
+
+def test_pattern_detect_single_user_shuffle(spark, sf_small):
+    # CEP via window navigation: exactly one exchange, keyed on user_id
+    import re
+    p = plan(spark, "events_pattern_detect", sf_small)
+    exchanges = re.findall(r"Exchange (\w+)\(([^,)]+)", p)
+    shuffles = [(k, c) for k, c in exchanges if k == "hashpartitioning"]
+    # AQE prints the plan twice (initial + final) — assert every shuffle is
+    # the single user_id partitioning, none on anything else
+    assert shuffles and all("user_id" in c for _, c in shuffles), exchanges
+    assert "SinglePartition" not in p
+
+
+def test_time_range_window_is_per_user(spark, sf_small):
+    p = plan(spark, "win_time_range", sf_small)
+    assert "hashpartitioning(user_id" in p
+    assert "SinglePartition" not in p
