@@ -282,3 +282,62 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+@query(
+    "events_sessionize",
+    oracle="""
+    WITH marks AS (
+        SELECT user_id, ts, value,
+               CASE WHEN EPOCH(ts) - EPOCH(LAG(ts) OVER w) > 1800
+                    OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT user_id, ts, value,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM marks
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           COUNT(*) AS n_events,
+           STRFTIME(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           CAST(FLOOR(EPOCH(MAX(ts)) - EPOCH(MIN(ts))) AS BIGINT) AS duration_s,
+           ROUND(SUM(value), 2) AS session_value
+    FROM sess
+    GROUP BY user_id, session_id
+    """,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (gaps-and-islands): a 30-minute inactivity gap
+    starts a new session; session_id is the running count of gap marks —
+    lag() to mark boundaries, cumulative sum to number islands, then
+    per-session aggregates. The batch twin of stream_session's
+    session_window (and of the reference's 1s-idle-gap framing, R3,
+    main.go:289-296 — same algorithm, different gap).
+
+    Scale: everything is partitioned by user_id — the lag window, the
+    cumulative sum, and the final groupBy all reuse ONE shuffle; per-user
+    work is a linear ordered scan. Timestamps in the output go through
+    strftime/floor(epoch) (cross-engine date + sub-second rules)."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    new_session = F.when(
+        prev_ts.isNull()
+        | ((F.col("ts").cast("double") - prev_ts.cast("double")) > 1800),
+        1,
+    ).otherwise(0)
+    w_cum = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sess = e.select("user_id", "ts", "value", new_session.alias("new_session")).select(
+        "user_id", "ts", "value", F.sum("new_session").over(w_cum).alias("session_id")
+    )
+    return sess.groupBy("user_id", F.col("session_id").cast("long").alias("session_id")).agg(
+        F.count("*").alias("n_events"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.floor(F.max(F.col("ts").cast("double")) - F.min(F.col("ts").cast("double"))).cast("long").alias("duration_s"),
+        F.round(F.sum("value"), 2).alias("session_value"),
+    )
