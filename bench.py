@@ -58,6 +58,12 @@ HEADLINE = [
     "sim_kmeans_iter",
     "events_funnel",
     "events_cohort_retention",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q13",
+    "text_ngram_counts",
+    "vq_int8_quantize",
+    "pipeline_pack_offsets",
 ]
 
 

@@ -525,3 +525,21 @@ def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("o_totalprice", F.lit(0.99), acc).alias("p99"),
         F.count("*").alias("n"),
     )
+
+
+@query("agg_countmin_sketch")  # rows-only: sketch bytes are engine-specific
+def agg_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketches (Spark's built-in count_min_sketch agg): one
+    mergeable frequency sketch of user_id per event_type, alongside exact
+    row counts. The 100 TB heavy-hitter pattern — per-partition/per-day
+    sketches merge in O(sketch) instead of re-scanning raw events; point
+    lookups answer "how often did user X appear" with eps·N additive error.
+    tests/test_wave3.py deserializes the sketch (JVM CountMinSketch) and
+    asserts the estimate ≥ exact and within eps·N for sampled users."""
+    e = table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count_min_sketch(
+            F.col("user_id"), F.lit(0.001), F.lit(0.99), F.lit(42)
+        ).alias("sketch"),
+        F.count("*").alias("n_events"),
+    )

@@ -56,6 +56,10 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.events_analytics",
     "data_ingestor_web_app_spark.llm.text_extra",
     "data_ingestor_web_app_spark.operators.timeseries",
+    "data_ingestor_web_app_spark.operators.tpch_more",
+    "data_ingestor_web_app_spark.llm.pipeline_extra",
+    "data_ingestor_web_app_spark.operators.recursive",
+    "data_ingestor_web_app_spark.operators.iterative",
 ]
 
 
