@@ -328,3 +328,78 @@ def mm_resize_image(spark: SparkSession, sf_dir: str) -> DataFrame:
         resize_batches,
         schema="doc_id long, rw int, rh int, sum_resized long, max_resized int",
     )
+
+
+@query(
+    "mm_phash",
+    oracle="""
+    WITH docs AS (
+        SELECT doc_id, 16 + doc_id % 16 AS w, 16 + (doc_id * 3) % 16 AS h
+        FROM documents WHERE doc_id < 200
+    ),
+    g AS (SELECT doc_id, w, h, UNNEST(RANGE(8)) AS y FROM docs),
+    gx AS (SELECT doc_id, w, h, y, UNNEST(RANGE(8)) AS x FROM g),
+    bits AS (
+        SELECT doc_id, y * 8 + x AS pos,
+               ((x * w // 9) * 7 + (y * h // 8) * 13 + doc_id) % 256
+                 > (((x + 1) * w // 9) * 7 + (y * h // 8) * 13 + doc_id) % 256 AS bit
+        FROM gx
+    )
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN bit AND pos < 32
+                         THEN CAST(1 AS BIGINT) << pos ELSE 0 END) AS BIGINT) AS dhash_lo,
+           CAST(SUM(CASE WHEN bit AND pos >= 32
+                         THEN CAST(1 AS BIGINT) << (pos - 32) ELSE 0 END) AS BIGINT) AS dhash_hi,
+           CAST(SUM(CASE WHEN bit THEN 1 ELSE 0 END) AS INTEGER) AS n_bits
+    FROM bits GROUP BY doc_id
+    """,
+)
+def mm_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual difference-hash (dHash) of the REAL decoded images: PNG →
+    pixel buffer → 9×8 nearest-neighbor downsample → 64-bit
+    left-brighter-than-right bitmap, carried as two 32-bit halves (lo/hi)
+    so neither engine's signed-int64 arithmetic overflows and each half
+    doubles as a hamming band key. The canonical near-duplicate-image
+    fingerprint: visually identical images differ by a few hamming bits, so
+    downstream image dedup is a hamming-band join on this column (same
+    banding trick as dedup_simhash).
+
+    The oracle recomputes the hash analytically from the pixel formula at
+    the same sample points — a hash match proves decode + downsample + bit
+    packing are all exact.
+
+    Plan shape for 100 TB: one mapInPandas stage over the binary column
+    (embarrassingly parallel, no shuffle); the fixture's synthesizer stage
+    stands in for a binaryFile scan exactly as in mm_decode_image."""
+    from data_ingestor_web_app_spark.llm.codecs import png_decode_gray
+
+    payloads = _image_payloads(spark, sf_dir)
+
+    def phash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "dhash_lo": [], "dhash_hi": [], "n_bits": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, pix = png_decode_gray(bytes(payload))
+                hsh = 0
+                for y in range(8):
+                    sy = y * h // 8
+                    row = [pix[sy * w + (x * w // 9)] for x in range(9)]
+                    for x in range(8):
+                        if row[x] > row[x + 1]:
+                            hsh |= 1 << (y * 8 + x)
+                out["doc_id"].append(doc_id)
+                out["dhash_lo"].append(hsh & 0xFFFFFFFF)
+                out["dhash_hi"].append(hsh >> 32)
+                out["n_bits"].append(bin(hsh).count("1"))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                    "dhash_lo": pd.Series(out["dhash_lo"], dtype="int64"),
+                    "dhash_hi": pd.Series(out["dhash_hi"], dtype="int64"),
+                    "n_bits": pd.Series(out["n_bits"], dtype="int32"),
+                }
+            )
+
+    return payloads.mapInPandas(
+        phash_batches, schema="doc_id long, dhash_lo long, dhash_hi long, n_bits int"
+    )

@@ -341,3 +341,61 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.max(F.col("ts").cast("double")) - F.min(F.col("ts").cast("double"))).cast("long").alias("duration_s"),
         F.round(F.sum("value"), 2).alias("session_value"),
     )
+
+
+@query(
+    "events_anomaly_zscore",
+    oracle="""
+    WITH v AS (
+        SELECT event_id, user_id, ts,
+               CAST(FLOOR(value * 1000) AS BIGINT) AS vi
+        FROM events
+    ),
+    w AS (
+        SELECT event_id, user_id, vi,
+               COUNT(vi) OVER win AS n,
+               SUM(vi)   OVER win AS s,
+               SUM(vi * vi) OVER win AS ss
+        FROM v
+        WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id, user_id, vi, s, ss,
+           (20 * vi - s) * (20 * vi - s) > 9 * (20 * ss - s * s) AS is_anomaly
+    FROM w
+    WHERE n = 20
+    """,
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly flag per user: each value vs the mean/stddev
+    of its own previous 20 events, flagged when |z| > 3.
+
+    All math is INTEGER (milli-unit values; the flag is the cross-multiplied
+    inequality (20·x − s)² > 9·(20·ss − s²), which is |z| > 3 with
+    population variance, cleared of divisions) — so partial sums are exact,
+    no float summation-order nondeterminism, and the boolean is hash-stable
+    cross-engine. The same trick sim_rerank_mmr and graph_pagerank_unrolled
+    use: at 1000 executors, float reductions are only reproducible if they
+    are not float.
+
+    Plan shape for 100 TB: one shuffle (hash by user_id), per-user sort by
+    (ts, event_id), single window pass computing count/sum/sumsq over a
+    20-row trailing frame. No global sort; skew bound = hottest user."""
+    e = table(spark, sf_dir, "events")
+    v = e.select(
+        "event_id", "user_id", "ts", F.floor(F.col("value") * 1000).cast("long").alias("vi")
+    )
+    win = (
+        Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-20, -1)
+    )
+    w = v.select(
+        "event_id", "user_id", "vi",
+        F.count("vi").over(win).alias("n"),
+        F.sum("vi").over(win).alias("s"),
+        F.sum(F.col("vi") * F.col("vi")).over(win).alias("ss"),
+    ).where(F.col("n") == 20)
+    dev = 20 * F.col("vi") - F.col("s")
+    return w.select(
+        "event_id", "user_id", "vi", "s", "ss",
+        (dev * dev > 9 * (20 * F.col("ss") - F.col("s") * F.col("s"))).alias("is_anomaly"),
+    )

@@ -191,3 +191,27 @@ def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = os.path.join(tempfile.mkdtemp(prefix="src_orc_"), "orders")
     o.write.mode("overwrite").orc(out)
     return spark.read.orc(out)
+
+
+@query(
+    "source_json_roundtrip",
+    oracle="""
+    SELECT event_id, user_id, event_type, value FROM events
+    """,
+)
+def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines SOURCE with value fidelity: write the events scalars as
+    JSONL, read them back with an explicit schema, and hash-match against
+    the original parquet rows. Proves the JSON path round-trips doubles
+    exactly (Spark writes shortest-round-trip decimal reprs), not just
+    "row counts look right" — the stronger claim sink_json_lines (rows-only
+    by design: timestamps re-type) can't make.
+
+    At 100 TB an explicit schema on read is mandatory: schema inference is
+    a full extra pass over every byte before the real job starts."""
+    e = table(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "value")
+    out = os.path.join(tempfile.mkdtemp(prefix="src_json_"), "events")
+    e.write.mode("overwrite").json(out)
+    return spark.read.schema(
+        "event_id long, user_id long, event_type string, value double"
+    ).json(out)

@@ -60,6 +60,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.llm.pipeline_extra",
     "data_ingestor_web_app_spark.operators.recursive",
     "data_ingestor_web_app_spark.operators.iterative",
+    "data_ingestor_web_app_spark.functions.variant",
 ]
 
 

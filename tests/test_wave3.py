@@ -202,3 +202,76 @@ def test_countmin_sketch_estimates_within_bound(spark, sf_small):
             est = sk.estimateCount(uid)
             assert est >= n  # CMS never underestimates
             assert est <= n + 0.001 * r.n_events + 1  # eps·N additive bound
+
+
+def test_phash_close_images_have_close_hashes(spark, sf_small):
+    # query-level sanity: halves stay in 32-bit range, popcount consistent
+    import pyspark.sql.functions as F
+
+    df = QUERIES["mm_phash"](spark, sf_small)
+    bad = df.where(
+        (F.col("dhash_lo") < 0) | (F.col("dhash_lo") >= 2**32)
+        | (F.col("dhash_hi") < 0) | (F.col("dhash_hi") >= 2**32)
+        | (F.col("n_bits") != F.bit_count("dhash_lo") + F.bit_count("dhash_hi"))
+    ).count()
+    assert bad == 0
+    # codec-level: a one-pixel change moves the dHash by only a few bits
+    from data_ingestor_web_app_spark.llm.codecs import png_decode_gray, png_encode_gray
+
+    def dhash(data: bytes) -> int:
+        w, h, pix = png_decode_gray(data)
+        out = 0
+        for y in range(8):
+            sy = y * h // 8
+            row = [pix[sy * w + (x * w // 9)] for x in range(9)]
+            for x in range(8):
+                if row[x] > row[x + 1]:
+                    out |= 1 << (y * 8 + x)
+        return out
+
+    base = png_encode_gray(20, 20, lambda x, y: (x * 7 + y * 13) % 256)
+    tweaked = png_encode_gray(20, 20, lambda x, y: 255 if (x, y) == (5, 5) else (x * 7 + y * 13) % 256)
+    dist = bin(dhash(base) ^ dhash(tweaked)).count("1")
+    assert dist <= 4  # near-identical images land within a small hamming ball
+
+
+def test_fn_variant_extracts_match_raw_json(spark, sf_small):
+    import json
+
+    import pyspark.sql.functions as F
+
+    rows = QUERIES["fn_variant"](spark, sf_small).limit(50).collect()
+    raw = {
+        r.event_id: r.props
+        for r in table(spark, sf_small, "events")
+        .where(F.col("event_id").isin([r.event_id for r in rows])).collect()
+    }
+    for r in rows:
+        assert r.k == json.loads(raw[r.event_id])["k"]
+        assert r.arr_sum == r.arr1 + (r.arr_sum - r.arr1)  # fold consistency
+
+
+def test_anomaly_zscore_matches_python_fold(spark, sf_small):
+    import math
+
+    rows = QUERIES["events_anomaly_zscore"](spark, sf_small).collect()
+    by_key = {(r.user_id, r.event_id): r for r in rows}
+    e = sorted(
+        table(spark, sf_small, "events")
+        .select("user_id", "ts", "event_id", "value").collect(),
+        key=lambda r: (r.user_id, r.ts, r.event_id),
+    )
+    checked = 0
+    hist: dict[int, list[int]] = {}
+    for r in e:
+        vi = math.floor(r.value * 1000)
+        prev = hist.setdefault(r.user_id, [])
+        if len(prev) >= 20:
+            w = prev[-20:]
+            s, ss = sum(w), sum(x * x for x in w)
+            expect = (20 * vi - s) ** 2 > 9 * (20 * ss - s * s)
+            got = by_key[(r.user_id, r.event_id)]
+            assert got.is_anomaly == expect, (r.user_id, r.event_id)
+            checked += 1
+        prev.append(vi)
+    assert checked == len(rows)  # exactly the full-window rows are emitted
