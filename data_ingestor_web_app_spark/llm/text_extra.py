@@ -78,3 +78,71 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rk", F.row_number().over(w))
         .where((F.col("rk") <= 3) & (F.col("doc_id") < 100))
     )
+
+
+@query(
+    "text_containment_pairs",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, source, UNNEST(list_distinct(string_split(lower(text), ' '))) AS token
+        FROM documents
+    ),
+    eval_toks AS (
+        SELECT doc_id AS eval_id, token FROM toks
+        WHERE source = 'src0' AND doc_id < 50
+    ),
+    eval_sizes AS (
+        SELECT eval_id, COUNT(*) AS n_eval FROM eval_toks GROUP BY eval_id
+    ),
+    train_toks AS (
+        SELECT doc_id AS train_id, token FROM toks WHERE source <> 'src0'
+    ),
+    overlap AS (
+        SELECT e.eval_id, t.train_id, COUNT(*) AS n_common
+        FROM eval_toks e JOIN train_toks t USING (token)
+        GROUP BY e.eval_id, t.train_id
+    )
+    SELECT o.eval_id, o.train_id,
+           ROUND(CAST(o.n_common AS DOUBLE) / s.n_eval, 4) AS containment
+    FROM overlap o JOIN eval_sizes s USING (eval_id)
+    WHERE CAST(o.n_common AS DOUBLE) / s.n_eval >= 0.9
+    """,
+)
+def text_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination screen: token-set CONTAINMENT |eval ∩ train| / |eval|
+    of a bounded eval set against the training corpus — the "is this eval
+    document effectively inside the training data" check, which Jaccard
+    (dedup_near) misses when the train doc is a superset.
+
+    Plan shape for 100 TB: the eval side is bounded (a benchmark suite is
+    thousands of docs, not billions), so its exploded token table
+    broadcasts; the train corpus explodes once and never shuffles — the
+    per-(eval,train) overlap count aggregates map-side against the
+    broadcast. The unbounded-both-sides version goes through MinHash
+    banding first (dedup_minhash_lsh) and only exact-counts survivors —
+    same escalation dedup_near documents."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "source",
+        F.explode(F.array_distinct(F.split(F.lower("text"), " "))).alias("token"),
+    )
+    eval_toks = (
+        toks.where((F.col("source") == "src0") & (F.col("doc_id") < 50))
+        .select(F.col("doc_id").alias("eval_id"), "token")
+    )
+    eval_sizes = eval_toks.groupBy("eval_id").agg(F.count("*").alias("n_eval"))
+    train_toks = toks.where(F.col("source") != "src0").select(
+        F.col("doc_id").alias("train_id"), "token"
+    )
+    overlap = (
+        train_toks.join(F.broadcast(eval_toks), "token")
+        .groupBy("eval_id", "train_id")
+        .agg(F.count("*").alias("n_common"))
+    )
+    ratio = F.col("n_common").cast("double") / F.col("n_eval")
+    return (
+        overlap.join(F.broadcast(eval_sizes), "eval_id")
+        .where(ratio >= 0.9)
+        .select("eval_id", "train_id", F.round(ratio, 4).alias("containment"))
+    )

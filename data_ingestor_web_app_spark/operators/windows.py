@@ -179,3 +179,37 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 3)
         .select("o_custkey", "o_orderkey", "o_totalprice", F.col("rn").alias("rank_in_group"))
     )
+
+
+@query(
+    "win_rolling_distinct",
+    oracle="""
+    SELECT event_id, user_id,
+           COUNT(DISTINCT event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 10 PRECEDING AND CURRENT ROW) AS n_types
+    FROM events
+    """,
+)
+def win_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling DISTINCT count: how many distinct event types each user hit
+    in their trailing 11 events — the behavioral-diversity feature. Spark
+    has no COUNT(DISTINCT) window, so the idiom is
+    size(collect_set(x) OVER w): the set lives only inside the window
+    operator, never materialized per row downstream. Frame is 11 rows, so
+    state per row is bounded by min(11, |type domain|) — at 100 TB the
+    cost profile is identical to any trailing-frame window: one shuffle on
+    user_id, per-user sort, no global sort. (An UNBOUNDED frame would
+    instead want the cumulative-dedup formulation: flag first occurrences
+    with lag-free row_number over (user, type), then a running sum.)"""
+    e = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-10, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.size(F.collect_set("event_type").over(w)).cast("long").alias("n_types"),
+    )

@@ -275,3 +275,24 @@ def test_anomaly_zscore_matches_python_fold(spark, sf_small):
             checked += 1
         prev.append(vi)
     assert checked == len(rows)  # exactly the full-window rows are emitted
+
+
+def test_rolling_distinct_bounded_by_frame_and_domain(spark, sf_small):
+    import pyspark.sql.functions as F
+
+    df = QUERIES["win_rolling_distinct"](spark, sf_small)
+    n_types = table(spark, sf_small, "events").select("event_type").distinct().count()
+    bad = df.where((F.col("n_types") < 1) | (F.col("n_types") > min(11, n_types))).count()
+    assert bad == 0
+
+
+def test_containment_pairs_probe_side_broadcasts(spark, sf_small):
+    from tests.test_scale_plans import plan
+
+    p = plan(spark, "text_containment_pairs", sf_small)
+    assert "BroadcastHashJoin" in p  # bounded eval side broadcasts
+    assert "CartesianProduct" not in p
+    rows = QUERIES["text_containment_pairs"](spark, sf_small).collect()
+    for r in rows:
+        assert 0.9 <= r.containment <= 1.0
+        assert r.eval_id < 50  # probe bound respected
