@@ -230,7 +230,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output: verified pairs with Jaccard >= 0.9 (a subset of dedup_near's
     exact answer; tests assert recall >= 0.95 against it)."""
-    d = table(spark, sf_dir, "documents")
+    # Rebalance after the scan: the fixture is ONE parquet row group, which
+    # Spark cannot split, so every per-row stage would run on one task. A
+    # round-robin repartition restores scan parallelism for the 64-hash
+    # signature projection and the token-set build; on a real multi-split
+    # corpus the scan already has the parallelism and this exchange is the
+    # first shuffle the band join needs anyway.
+    d = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     # materialize signatures once — the band self-join would otherwise
     # recompute the whole explode+64-agg pipeline for BOTH sides (at scale:
     # write signatures to a table, same reasoning)
