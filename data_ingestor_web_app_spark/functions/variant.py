@@ -69,3 +69,42 @@ def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("arr_sum"),
     )
+
+
+@query(
+    "udf_arrow_optimized",
+    oracle="""
+    SELECT event_id,
+           CAST(LEN(event_type) AS BIGINT) AS type_len,
+           CAST(LEN(event_type) * 2 + (event_id % 7) AS BIGINT) AS mixed
+    FROM events
+    """,
+)
+def udf_arrow_optimized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-optimized scalar Python UDF (Spark 4 `@udf(..., useArrow=True)`)
+    — completes the Python-boundary matrix next to pandas_udf (udf_quote),
+    UDTF (udtf_explode_payload), applyInPandas (udaf_gap_sessions /
+    pipeline_pack_greedy) and mapInPandas (multimodal): same Arrow columnar
+    transfer as a pandas_udf but with per-value Python semantics, the
+    drop-in upgrade for legacy row UDFs that can't be vectorized.
+
+    The UDF computes len(event_type); the 'mixed' column then combines the
+    UDF output with JVM-side arithmetic, proving results flow back into
+    codegen expressions. Oracle recomputes both analytically.
+
+    Scale posture: still the slow path vs built-ins — keep Python off the
+    hot loop; when unavoidable, Arrow batching beats pickled row UDFs by
+    ~10-100× (the reason this surface exists at all)."""
+    from pyspark.sql.functions import udf
+
+    @udf("long", useArrow=True)
+    def py_len(s: str):
+        return len(s) if s is not None else None
+
+    e = table(spark, sf_dir, "events")
+    tl = py_len(F.col("event_type"))
+    return e.select(
+        "event_id",
+        tl.alias("type_len"),
+        (tl * 2 + F.col("event_id") % 7).alias("mixed"),
+    )

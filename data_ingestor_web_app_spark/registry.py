@@ -61,6 +61,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.recursive",
     "data_ingestor_web_app_spark.operators.iterative",
     "data_ingestor_web_app_spark.functions.variant",
+    "data_ingestor_web_app_spark.operators.fuzzy",
 ]
 
 
