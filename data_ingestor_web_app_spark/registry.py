@@ -62,6 +62,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.iterative",
     "data_ingestor_web_app_spark.functions.variant",
     "data_ingestor_web_app_spark.operators.fuzzy",
+    "data_ingestor_web_app_spark.operators.tpch_final",
 ]
 
 
