@@ -63,6 +63,9 @@ _MODULES = [
     "data_ingestor_web_app_spark.functions.variant",
     "data_ingestor_web_app_spark.operators.fuzzy",
     "data_ingestor_web_app_spark.operators.tpch_final",
+    "data_ingestor_web_app_spark.operators.profiling",
+    "data_ingestor_web_app_spark.operators.modeling",
+    "data_ingestor_web_app_spark.functions.collation",
 ]
 
 
