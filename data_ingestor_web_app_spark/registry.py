@@ -66,6 +66,10 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.profiling",
     "data_ingestor_web_app_spark.operators.modeling",
     "data_ingestor_web_app_spark.functions.collation",
+    "data_ingestor_web_app_spark.operators.admission",
+    "data_ingestor_web_app_spark.functions.arrow_boundary",
+    "data_ingestor_web_app_spark.operators.interval_join",
+    "data_ingestor_web_app_spark.operators.maintenance",
 ]
 
 
