@@ -70,6 +70,8 @@ _MODULES = [
     "data_ingestor_web_app_spark.functions.arrow_boundary",
     "data_ingestor_web_app_spark.operators.interval_join",
     "data_ingestor_web_app_spark.operators.maintenance",
+    "data_ingestor_web_app_spark.operators.pruning",
+    "data_ingestor_web_app_spark.operators.zorder",
 ]
 
 
