@@ -43,13 +43,22 @@ def ensure_session_confs(spark: SparkSession) -> None:
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # ts is TIMESTAMP(NANOS) in the driver fixture; with nanosAsLong it
-        # arrives as ns-since-epoch. Truncate to µs exactly as DuckDB does
-        # (fixture data is µs-aligned, so this is lossless — FIXTURES.md).
-        # Re-written copies (scale probe, sinks) already carry a real
-        # timestamp — leave those untouched.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # ts is TIMESTAMP(NANOS) in the original driver fixture; with
+            # nanosAsLong it arrives as ns-since-epoch. Truncate to µs exactly
+            # as DuckDB does (fixture data is µs-aligned, so this is lossless
+            # — FIXTURES.md).
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # Regenerated fixtures store TIMESTAMP(MICROS) without timezone,
+            # which Spark reads as TIMESTAMP_NTZ. The engine (and the round-1
+            # data) standardizes on TIMESTAMP with the session pinned to UTC;
+            # the cast is wall-clock-preserving under that pin and keeps
+            # every downstream window/date_format/oracle comparison byte-
+            # identical to DuckDB's naive-timestamp read of the same file.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

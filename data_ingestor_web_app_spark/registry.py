@@ -72,6 +72,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.maintenance",
     "data_ingestor_web_app_spark.operators.pruning",
     "data_ingestor_web_app_spark.operators.zorder",
+    "data_ingestor_web_app_spark.llm.corpus_quality",
 ]
 
 

@@ -1,0 +1,120 @@
+"""Semantic invariants for the wave-8 corpus-hygiene additions
+(repetition ratios, decontamination, chunk dedup, k-NN graph, batch
+Observation metrics). Oracle hash-parity runs in tools/check_oracle.py;
+these assert the semantics and plan shapes a value hash can't see.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from data_ingestor_web_app_spark.io import table
+from data_ingestor_web_app_spark.registry import QUERIES
+from tests.conftest import SF_SMALL
+
+
+def test_repetition_ratios_match_pure_python(spark):
+    docs = {r.doc_id: r.text for r in table(spark, SF_SMALL, "documents").limit(5).collect()}
+    got = {
+        r.doc_id: r
+        for r in QUERIES["text_repetition_ratios"](spark, SF_SMALL)
+        .where(F.col("doc_id").isin(list(docs)))
+        .collect()
+    }
+    for doc_id, text in docs.items():
+        toks = [t for t in text.split(" ") if t]
+        grams = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        top = max(grams.count(g) for g in set(grams))
+        r = got[doc_id]
+        assert r.n_tokens == len(toks)
+        assert abs(r.dup_token_frac - (1 - len(set(toks)) / len(toks))) < 1e-6
+        assert abs(r.top_bigram_frac - top / len(grams)) < 1e-6
+
+
+def test_decontaminate_counts_are_consistent(spark):
+    rows = QUERIES["pipeline_decontaminate"](spark, SF_SMALL).collect()
+    n_train_total = (
+        table(spark, SF_SMALL, "documents").where(F.col("doc_id") % 10 != 0).count()
+    )
+    assert sum(r.n_train for r in rows) == n_train_total
+    for r in rows:
+        assert r.n_kept == r.n_train - r.n_contaminated
+        assert 0 <= r.n_contaminated <= r.n_train
+    # eval docs share their own 3-grams with near-dup train docs in this
+    # corpus, so contamination must actually fire
+    assert sum(r.n_contaminated for r in rows) > 0
+
+
+def test_dedup_chunks_keeps_each_distinct_chunk_once(spark):
+    out = QUERIES["dedup_chunks"](spark, SF_SMALL)
+    agg = out.agg(F.sum("n_kept").alias("kept"), F.sum("n_chunks").alias("total")).first()
+    d = table(spark, SF_SMALL, "documents").select(
+        "doc_id", F.split("text", " ").alias("t")
+    )
+    distinct_chunks = (
+        d.select(
+            F.explode(
+                F.expr("sequence(0, cast(ceil(size(t) / 16.0) as bigint) - 1)")
+            ).alias("i"),
+            "t",
+        )
+        .select(F.concat_ws(" ", F.expr("slice(t, i * 16 + 1, 16)")).alias("chunk"))
+        .distinct()
+        .count()
+    )
+    assert agg.kept == distinct_chunks
+    assert agg.kept <= agg.total
+
+
+def test_knn_graph_topk_shape_and_bruteforce_parity(spark):
+    import numpy as np
+
+    rows = QUERIES["sim_knn_graph"](spark, SF_SMALL).collect()
+    by_q = {}
+    for r in rows:
+        assert r.qid != r.nid
+        by_q.setdefault(r.qid, []).append(r)
+    e = table(spark, SF_SMALL, "embeddings").collect()
+    assert len(by_q) == len(e)
+    ids = np.array([r.vec_id for r in e])
+    mat = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in e])
+    nrm = np.sqrt((mat * mat).sum(axis=1))
+    # brute-force check one query vector end-to-end
+    q = 0
+    qi = int(np.where(ids == q)[0][0])
+    cos = np.round((mat @ mat[qi]) / (nrm * nrm[qi]), 6)
+    cos[qi] = -np.inf
+    want = sorted(zip(-cos, ids))[:3]
+    got = sorted(by_q[q], key=lambda r: r.rk)
+    for (neg_c, nid), r in zip(want, got):
+        assert r.nid == nid
+        assert abs(r.cosine - (-neg_c)) < 1e-9
+    for g in by_q.values():
+        assert sorted(r.rk for r in g) == [1, 2, 3]
+        ordered = sorted(g, key=lambda r: r.rk)
+        assert all(
+            a.cosine > b.cosine or (a.cosine == b.cosine and a.nid < b.nid)
+            for a, b in zip(ordered, ordered[1:])
+        )
+
+
+def test_knn_graph_plan_has_no_shuffle(spark):
+    df = QUERIES["sim_knn_graph"](spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan[:2000]
+
+
+def test_observed_metrics_match_direct_aggregation(spark):
+    got = QUERIES["scan_observed_metrics"](spark, SF_SMALL).first()
+    want = (
+        table(spark, SF_SMALL, "lineitem")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            F.min("l_orderkey").alias("min_key"),
+            F.max("l_orderkey").alias("max_key"),
+        )
+        .first()
+    )
+    assert got.asDict() == want.asDict()
