@@ -73,6 +73,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.pruning",
     "data_ingestor_web_app_spark.operators.zorder",
     "data_ingestor_web_app_spark.llm.corpus_quality",
+    "data_ingestor_web_app_spark.operators.temporal",
 ]
 
 

@@ -118,3 +118,45 @@ def test_observed_metrics_match_direct_aggregation(spark):
         .first()
     )
     assert got.asDict() == want.asDict()
+
+
+def test_point_in_time_matches_each_line_with_at_most_one_version(spark):
+    # every probe at-or-after its customer's first version date matches
+    # EXACTLY one version (intervals tile the timeline); earlier probes
+    # (synthetic ship dates can precede the first order) match none
+    out = QUERIES["join_point_in_time"](spark, SF_SMALL)
+    o = table(spark, SF_SMALL, "orders")
+    li = table(spark, SF_SMALL, "lineitem")
+    first = o.groupBy("o_custkey").agg(
+        F.min(F.col("o_orderdate").cast("date")).alias("f")
+    )
+    probes_in_range = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(first, "o_custkey")
+        .where(F.col("l_shipdate").cast("date") >= F.col("f"))
+        .count()
+    )
+    assert out.agg(F.sum("n_lines")).first()[0] == probes_in_range
+
+
+def test_attribution_partitions_all_purchases(spark):
+    rows = QUERIES["events_attribution_last_touch"](spark, SF_SMALL).collect()
+    n_purchases = (
+        table(spark, SF_SMALL, "events")
+        .where(F.col("event_type") == "purchase")
+        .count()
+    )
+    assert sum(r.n_purchases for r in rows) == n_purchases
+    assert {r.touch for r in rows} <= {"click", "view", "none"}
+
+
+def test_equidepth_buckets_are_balanced(spark):
+    rows = QUERIES["agg_equidepth_histogram"](spark, SF_SMALL).collect()
+    total = table(spark, SF_SMALL, "events").count()
+    assert sorted(r.bucket for r in rows) == [1, 2, 3, 4]
+    assert sum(r.n for r in rows) == total
+    for r in rows:
+        # equal mass within duplicate-value tolerance
+        assert abs(r.n - total / 4) < 0.05 * total, rows
+    ordered = sorted(rows, key=lambda r: r.bucket)
+    assert all(a.hi <= b.lo for a, b in zip(ordered, ordered[1:]))
