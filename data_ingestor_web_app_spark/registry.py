@@ -74,6 +74,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.zorder",
     "data_ingestor_web_app_spark.llm.corpus_quality",
     "data_ingestor_web_app_spark.operators.temporal",
+    "data_ingestor_web_app_spark.operators.rollups",
 ]
 
 

@@ -160,3 +160,25 @@ def test_equidepth_buckets_are_balanced(spark):
         assert abs(r.n - total / 4) < 0.05 * total, rows
     ordered = sorted(rows, key=lambda r: r.bucket)
     assert all(a.hi <= b.lo for a, b in zip(ordered, ordered[1:]))
+
+
+def test_bitmap_distinct_total_is_not_sum_of_days(spark):
+    rows = {r.d: r.n_users for r in QUERIES["agg_bitmap_distinct"](spark, SF_SMALL).collect()}
+    total = rows.pop("ALL")
+    e = table(spark, SF_SMALL, "events")
+    assert total == e.select("user_id").distinct().count()
+    # users recur across days, so the OR-rollup must deduplicate, not sum
+    assert total < sum(rows.values())
+    assert max(rows.values()) <= total
+
+
+def test_top_paths_counts_and_order(spark):
+    rows = QUERIES["events_top_paths"](spark, SF_SMALL).collect()
+    assert len(rows) == 10
+    assert all(
+        (a.n, b.path) > (b.n, a.path) or a.n > b.n or (a.n == b.n and a.path < b.path)
+        for a, b in zip(rows, rows[1:])
+    )
+    n_rows = table(spark, SF_SMALL, "events").count()
+    n_users = table(spark, SF_SMALL, "events").select("user_id").distinct().count()
+    assert sum(r.n for r in rows) <= n_rows - 2 * n_users
