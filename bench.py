@@ -115,11 +115,27 @@ def bench_ingest(spark, n_rows: int = 1_000_000) -> tuple[float, float]:
     return secs, n_rows / secs
 
 
+WARMUP_SF_DIR = "/root/testdata/sf0.001"
+
+
+def warmup(spark, name: str) -> None:
+    """Execute the query once at the smallest SF so JVM startup and
+    whole-stage-codegen compilation (cached per generated source, so the
+    sf0.1 run reuses it) stay out of the timed numbers — the bench measures
+    steady-state operator throughput, which is what repeated production
+    runs see. Data-dependent costs (shuffle volume, candidate counts) are
+    NOT warmed away: sf0.001 touches 100x less data."""
+    df = registry.QUERIES[name](spark, WARMUP_SF_DIR)
+    df.count()
+
+
 def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
     # warm-up: JVM, codegen, parquet footer caches
     run_once(spark, "agg_groupby")
+    for name in HEADLINE:
+        warmup(spark, name)
     times: dict[str, float] = {}
     for name in HEADLINE:
         times[name] = round(run_once(spark, name), 3)

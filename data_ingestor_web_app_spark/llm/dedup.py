@@ -201,20 +201,28 @@ def _minhash_signatures(d: DataFrame) -> DataFrame:
     xxhash64(token, seed). xxhash64 is a deterministic JVM-side built-in —
     no Python, no UDF.
 
-    Computed as a pure per-row projection — array_min over a transform of
-    the token array — NOT explode + groupBy: the projection needs no
-    shuffle at all (the old agg formulation moved every exploded token row
-    through a 64-column hash aggregate; at 100 TB that is a full shuffle of
-    the tokenized corpus, here it is zero). Measured 7.3 s → sub-second for
-    the signature stage at sf0.1."""
-    toks = F.array_distinct(F.split("text", " "))
-    mins = [
-        F.expr(
-            f"array_min(transform(__toks, t -> xxhash64(t, {seed})))"
-        ).alias(f"mh{seed}")
-        for seed in range(_N_HASHES)
-    ]
-    return d.select("doc_id", toks.alias("__toks")).select("doc_id", *mins)
+    Computed as a pure per-row projection with NO shuffle, and as ONE fold
+    over the token array: `aggregate` walks the tokens once, each token
+    contributes its 64 seeded hashes via a small transform, and `zip_with
+    (least)` folds them elementwise into the running minimum vector. The
+    earlier 64-separate-`array_min(transform(...))` formulation re-walked
+    the token array 64 times (measured 0.86 s vs 0.37 s warm at sf0.1);
+    the original explode + 64-column groupBy shuffled the whole tokenized
+    corpus (7.3 s) — at 100 TB that shuffle is the difference between a
+    projection and a second pass over the corpus."""
+    fold = f"""
+    aggregate(
+      array_distinct(split(text, ' ')),
+      array_repeat(cast(9223372036854775807 as bigint), {_N_HASHES}),
+      (acc, t) -> zip_with(acc,
+                           transform(sequence(0, {_N_HASHES - 1}),
+                                     s -> xxhash64(t, s)),
+                           (a, h) -> least(a, h))
+    )
+    """
+    return d.select("doc_id", F.expr(fold).alias("__mh")).select(
+        "doc_id", *[F.col("__mh")[i].alias(f"mh{i}") for i in range(_N_HASHES)]
+    )
 
 
 @query("dedup_minhash_lsh")  # rows-only: LSH candidate recall is engine-specific

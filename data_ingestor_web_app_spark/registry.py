@@ -75,6 +75,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.llm.corpus_quality",
     "data_ingestor_web_app_spark.operators.temporal",
     "data_ingestor_web_app_spark.operators.rollups",
+    "data_ingestor_web_app_spark.operators.dq",
 ]
 
 

@@ -182,3 +182,47 @@ def test_top_paths_counts_and_order(spark):
     n_rows = table(spark, SF_SMALL, "events").count()
     n_users = table(spark, SF_SMALL, "events").select("user_id").distinct().count()
     assert sum(r.n for r in rows) <= n_rows - 2 * n_users
+
+
+def test_dq_expectations_verdicts(spark):
+    rows = {r.rule: r for r in QUERIES["dq_expectations"](spark, SF_SMALL).collect()}
+    assert len(rows) == 6
+    # the fixture is clean on keys/FKs/nulls/derived columns by construction
+    for rule in [
+        "orders.o_orderkey:unique",
+        "lineitem.l_orderkey:fk_orders",
+        "events.user_id:complete",
+        "documents.n_chars:eq_len_text",
+    ]:
+        assert rows[rule].passed, rows[rule]
+        assert rows[rule].metric == 1.0
+    for r in rows.values():
+        assert 0.0 <= r.metric <= 1.0
+
+
+def test_triangle_count_matches_networkx_style_bruteforce(spark):
+    row = QUERIES["graph_triangle_count"](spark, SF_SMALL).first()
+    ev = (
+        table(spark, SF_SMALL, "events")
+        .select("user_id", "event_type", F.date_trunc("minute", "ts").alias("m"))
+        .distinct()
+        .collect()
+    )
+    from collections import defaultdict
+    members = defaultdict(set)
+    for r in ev:
+        members[(r.event_type, r.m)].add(r.user_id)
+    edges = set()
+    for us in members.values():
+        us = sorted(us)
+        for i, u in enumerate(us):
+            for v in us[i + 1:]:
+                edges.add((u, v))
+    assert row.n_edges == len(edges)
+    adj = defaultdict(set)
+    for u, v in edges:
+        adj[u].add(v)
+    tri = sum(
+        1 for (u, v) in edges for w in adj[v] if w in adj[u]
+    )
+    assert row.n_triangles == tri
