@@ -203,3 +203,59 @@ def test_time_range_window_is_per_user(spark, sf_small):
     p = plan(spark, "win_time_range", sf_small)
     assert "hashpartitioning(user_id" in p
     assert "SinglePartition" not in p
+
+
+def test_decontaminate_semi_join_no_cartesian(spark, sf_small):
+    p = plan(spark, "pipeline_decontaminate", sf_small)
+    assert "LeftSemi" in p, p[:1500]
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_chunk_dedup_keepset_never_nested_loop(spark, sf_small):
+    p = plan(spark, "dedup_chunks", sf_small)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    # keep-decision is a map-side-partial MIN aggregate
+    assert p.count("HashAggregate") >= 2
+
+
+def test_bitmap_rollup_reuses_day_partials(spark, sf_small):
+    # daily counts and the ALL row must share ONE (d, bucket) aggregate
+    # over raw events — via exchange/subplan reuse — not two raw scans
+    p = plan(spark, "agg_bitmap_distinct", sf_small)
+    import re
+    raw_scans = len(re.findall(r"Scan parquet[^\n]*events", p))
+    reused = ("ReusedExchange" in p) or ("InMemoryTableScan" in p)
+    assert raw_scans <= 1 or reused, p[:2000]
+
+
+def test_top_paths_heap_not_global_sort(spark, sf_small):
+    p = plan(spark, "events_top_paths", sf_small)
+    assert "TakeOrderedAndProject" in p
+
+
+def test_equidepth_broadcasts_only_the_boundary_row(spark, sf_small):
+    p = plan(spark, "agg_equidepth_histogram", sf_small)
+    assert "BroadcastExchange" in p  # the 1-row quantile frame
+    assert "Sort " not in p or "TakeOrdered" in p or "SortMergeJoin" in p
+
+
+def test_attribution_aggregates_candidates_map_side(spark, sf_small):
+    p = plan(spark, "events_attribution_last_touch", sf_small)
+    # per-purchase winner via max(struct(...)): partial+final HashAggregate
+    assert "max(struct" in p.lower() or "max(named_struct" in p.lower(), p[:1500]
+    assert "CartesianProduct" not in p
+
+
+def test_triangle_count_edge_joins_are_equi(spark, sf_small):
+    p = plan(spark, "graph_triangle_count", sf_small)
+    assert "CartesianProduct" not in p
+    # the wedge-build and wedge-close joins must be hash/merge equi joins;
+    # the only nested-loop allowed is the final 1-row x 1-row metric cross
+    import re
+    bnlj = re.findall(r"BroadcastNestedLoopJoin[^\n]*", p)
+    assert all("Cross" in j for j in bnlj) and len(bnlj) <= 2, bnlj
+    assert ("SortMergeJoin" in p) or ("BroadcastHashJoin" in p) or (
+        "ShuffledHashJoin" in p
+    ), p[:1500]

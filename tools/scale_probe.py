@@ -30,6 +30,13 @@ PROBES = [
     # here — not replicated — so LLM ops are excluded from the probe)
     "tpch_q5", "tpch_q10", "upsert_scd1",
     "events_ohlc_downsample", "events_pattern_detect",
+    # wave 8-11: per-key-linear shapes only. Pair-generating ops
+    # (attribution, point-in-time) are excluded: the replication scheme
+    # multiplies per-user/per-customer DENSITY (keys are not shifted), so
+    # their candidate sets grow quadratically under the probe — a
+    # replication artifact, not how 16x more real-world keys would behave.
+    "events_top_paths", "agg_bitmap_distinct", "agg_equidepth_histogram",
+    "dq_expectations",
 ]
 
 
