@@ -76,6 +76,8 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.temporal",
     "data_ingestor_web_app_spark.operators.rollups",
     "data_ingestor_web_app_spark.operators.dq",
+    "data_ingestor_web_app_spark.llm.vector_pq",
+    "data_ingestor_web_app_spark.operators.experiments",
 ]
 
 

@@ -226,3 +226,66 @@ def test_triangle_count_matches_networkx_style_bruteforce(spark):
         1 for (u, v) in edges for w in adj[v] if w in adj[u]
     )
     assert row.n_triangles == tri
+
+
+def test_pq_adc_lloyd_improves_and_recalls(spark):
+    import numpy as np
+
+    import data_ingestor_web_app_spark.llm.vector_pq as pq
+
+    rows = QUERIES["sim_pq_adc"](spark, SF_SMALL).collect()
+    assert [r.rk for r in rows] == list(range(1, 11))
+    assert all(a.adc_dist <= b.adc_dist for a, b in zip(rows, rows[1:]))
+    got = {r.nid for r in rows}
+    assert 0 not in got
+
+    e = table(spark, SF_SMALL, "embeddings").collect()
+    ids = np.array([r.vec_id for r in e])
+    mat = np.stack([np.array(r.embedding, dtype=np.float64) for r in e])
+    qi = int(np.where(ids == 0)[0][0])
+    d = ((mat - mat[qi]) ** 2).sum(axis=1)
+    d[qi] = np.inf
+    want = set(ids[np.argsort(d)[:10]].tolist())
+    # random gaussian fixture is PQ's worst case; codebook quality, not
+    # plan correctness, bounds this — measured 0.4 at sf0.001 with K=64
+    assert len(got & want) / 10 >= 0.2
+
+    sv = pq._subvectors(table(spark, SF_SMALL, "embeddings")).cache()
+    init = sv.where(F.col("vec_id") < pq._K).select(
+        "s", F.col("vec_id").cast("int").alias("cid"), F.col("sub").alias("c")
+    )
+    mse0 = pq._assign(sv, init).agg(F.sum("d")).first()[0]
+    mse2 = pq._assign(sv, pq._pq_codebook(sv)).agg(F.sum("d")).first()[0]
+    assert mse2 < mse0  # Lloyd iterations must not increase quantization error
+
+
+def test_ab_test_lift_matches_direct_computation(spark):
+    import math
+
+    r = QUERIES["events_ab_test_lift"](spark, SF_SMALL).first()
+    e = table(spark, SF_SMALL, "events")
+    per = {
+        row.variant: row
+        for row in e.groupBy((F.col("user_id") % 2).alias("variant"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum((F.col("event_type") == "purchase").cast("int")).alias("conv"),
+        )
+        .collect()
+    }
+    assert (r.n_a, r.conv_a) == (per[0].n, per[0].conv)
+    assert (r.n_b, r.conv_b) == (per[1].n, per[1].conv)
+    cr_a, cr_b = per[0].conv / per[0].n, per[1].conv / per[1].n
+    pooled = (per[0].conv + per[1].conv) / (per[0].n + per[1].n)
+    z = (cr_b - cr_a) / math.sqrt(
+        pooled * (1 - pooled) * (1 / per[0].n + 1 / per[1].n)
+    )
+    assert abs(r.z_score - z) < 1e-5
+
+
+def test_text_lines_source_roundtrip_preserves_every_doc(spark):
+    vals = sorted(
+        r.value for r in QUERIES["source_text_lines"](spark, SF_SMALL).collect()
+    )
+    orig = sorted(r.text for r in table(spark, SF_SMALL, "documents").collect())
+    assert vals == orig
