@@ -80,6 +80,13 @@ def _pq_codebook(sv: DataFrame) -> DataFrame:
             .agg(F.array_sort(F.collect_list(F.struct("i", "cx"))).alias("pairs"))
             .select("s", "cid", F.expr("transform(pairs, p -> p.cx)").alias("c"))
         )
+        # truncate lineage at each Lloyd boundary: the codebook is ~4 KB,
+        # but left lazy each iteration DOUBLES the nested join/agg plan and
+        # Catalyst's analysis time dominates the actual compute (measured
+        # 15.6s -> ~3s at sf0.01). At scale this is "write the codebook
+        # checkpoint between iterations" — standard iterative-algorithm
+        # hygiene on Spark (same pattern as graph_pagerank_unrolled).
+        cent = cent.localCheckpoint(eager=True)
     return cent
 
 
@@ -99,7 +106,11 @@ def sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     the codebook, not the plan — pytest measures it against exact L2."""
     e = table(spark, sf_dir, "embeddings")
     sv = _subvectors(e).cache()
-    cent = _pq_codebook(sv)
+    # the codebook is 4 KB but its lineage is 2 Lloyd iterations deep and
+    # is consumed TWICE (corpus encoding + query LUT) — materialize it once
+    # (at scale: write the trained codebook to a table, same reasoning as
+    # the minhash signatures)
+    cent = _pq_codebook(sv).cache()
     codes = _assign(sv, cent).select("vec_id", "s", "cid")
     # ADC lookup table for the query: distance from q's subvector to every
     # centroid of the matching subspace
