@@ -403,3 +403,51 @@ def mm_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return payloads.mapInPandas(
         phash_batches, schema="doc_id long, dhash_lo long, dhash_hi long, n_bits int"
     )
+
+
+def band_energies(samples: list[int], rate: int) -> tuple[list[float], int]:
+    """Normalized spectral energy in four 1 kHz bands (0-1k … 3k-Nyquist)
+    plus the argmax band. Pure numpy — shared by the operator and its
+    pytest golden (pure-sine inputs must land in the right band)."""
+    import numpy as np
+
+    x = np.asarray(samples, dtype=np.float64)
+    spec = np.abs(np.fft.rfft(x)) ** 2
+    freqs = np.fft.rfftfreq(len(x), d=1.0 / rate)
+    edges = [0.0, 1000.0, 2000.0, 3000.0, rate / 2 + 1]
+    e = [float(spec[(freqs >= lo) & (freqs < hi)].sum()) for lo, hi in zip(edges, edges[1:])]
+    tot = sum(e) or 1.0
+    return [round(v / tot, 6) for v in e], int(max(range(4), key=lambda i: e[i]))
+
+
+@query("mm_audio_spectral")  # rows-only: FFT band energies have no SQL twin
+def mm_audio_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio feature extraction: decode the PCM16 WAV column (stdlib
+    codec), FFT each clip (numpy rfft), and emit normalized energy in four
+    1 kHz bands plus the dominant band — the spectral-fingerprint stage of
+    an audio training pipeline (language/music/noise routing), running as
+    Arrow-batched mapInPandas over the binary column.
+
+    Scale shape: per-row Python with NO shuffle — partitions stream
+    through Arrow batches; FFT cost is O(n log n) per clip and embarrass-
+    ingly parallel. pytest drives pure sine tones through the same
+    band_energies kernel and asserts each lands in its own band."""
+    payloads = _audio_payloads(spark, sf_dir)
+
+    def spectral_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from data_ingestor_web_app_spark.llm.codecs import wav_decode_pcm16
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                rate, _n, samples = wav_decode_pcm16(bytes(payload))
+                e, dom = band_energies(samples, rate)
+                rows.append((doc_id, *e, dom))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "b0", "b1", "b2", "b3", "dominant_band"]
+            )
+
+    return payloads.mapInPandas(
+        spectral_batches,
+        schema="doc_id long, b0 double, b1 double, b2 double, b3 double, dominant_band int",
+    )

@@ -289,3 +289,67 @@ def test_text_lines_source_roundtrip_preserves_every_doc(spark):
     )
     orig = sorted(r.text for r in table(spark, SF_SMALL, "documents").collect())
     assert vals == orig
+
+
+def test_markov_rows_sum_to_one_per_src(spark):
+    rows = QUERIES["events_markov_transitions"](spark, SF_SMALL).collect()
+    from collections import defaultdict
+    by_src = defaultdict(float)
+    for r in rows:
+        by_src[r.src] += r.p
+        assert 0 < r.p <= 1
+    for src, total in by_src.items():
+        assert abs(total - 1.0) < 1e-4, (src, total)
+
+
+def test_asof_nearest_beats_backward_distance(spark):
+    nearest = {
+        r.event_id: r.nearest_orderdate
+        for r in QUERIES["join_asof_nearest"](spark, SF_SMALL).collect()
+    }
+    backward = {
+        r.event_id: r.asof_orderdate
+        for r in QUERIES["join_asof"](spark, SF_SMALL).collect()
+        if r.event_id < 2000
+    }
+    import datetime as dt
+    e = {
+        r.event_id: r.ts.date()
+        for r in table(spark, SF_SMALL, "events").where("event_id < 2000").collect()
+    }
+    assert set(backward) <= set(nearest)  # nearest matches every keyed event
+    for eid, nd in nearest.items():
+        n_dist = abs((dt.date.fromisoformat(nd) - e[eid]).days)
+        if eid in backward:
+            b_dist = abs((dt.date.fromisoformat(backward[eid]) - e[eid]).days)
+            assert n_dist <= b_dist, (eid, nd, backward[eid])
+
+
+def test_dataset_cards_cover_whole_corpus(spark):
+    rows = QUERIES["pipeline_dataset_cards"](spark, SF_SMALL).collect()
+    d = table(spark, SF_SMALL, "documents")
+    assert sum(r.n_docs for r in rows) == d.count()
+    for r in rows:
+        assert 0.0 <= r.pct_en <= 1.0
+        assert 0.0 <= r.dup_rate < 1.0
+        assert r.total_tokens > r.n_docs  # multi-token docs
+
+
+def test_audio_spectral_sine_lands_in_right_band(spark):
+    import math
+
+    from data_ingestor_web_app_spark.llm.multimodal import band_energies
+
+    rate = 8000
+    for freq, want_band in [(500, 0), (1500, 1), (2500, 2), (3500, 3)]:
+        samples = [
+            int(10000 * math.sin(2 * math.pi * freq * i / rate)) for i in range(1600)
+        ]
+        e, dom = band_energies(samples, rate)
+        assert dom == want_band, (freq, e)
+        assert e[want_band] > 0.9
+    rows = QUERIES["mm_audio_spectral"](spark, SF_SMALL).collect()
+    assert len(rows) == 200
+    for r in rows[:20]:
+        assert abs(r.b0 + r.b1 + r.b2 + r.b3 - 1.0) < 1e-4
+        assert 0 <= r.dominant_band <= 3
