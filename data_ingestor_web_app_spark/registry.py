@@ -79,6 +79,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.llm.vector_pq",
     "data_ingestor_web_app_spark.operators.experiments",
     "data_ingestor_web_app_spark.operators.markov",
+    "data_ingestor_web_app_spark.operators.evolution",
 ]
 
 

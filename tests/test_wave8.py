@@ -353,3 +353,34 @@ def test_audio_spectral_sine_lands_in_right_band(spark):
     for r in rows[:20]:
         assert abs(r.b0 + r.b1 + r.b2 + r.b3 - 1.0) < 1e-4
         assert 0 <= r.dominant_band <= 3
+
+
+def test_schema_evolution_nullfills_old_generation(spark):
+    rows = QUERIES["scan_schema_evolution"](spark, SF_SMALL).collect()
+    by_p = {r.priority: r.n for r in rows}
+    o = table(spark, SF_SMALL, "orders")
+    assert by_p["<pre-schema>"] == o.where(F.col("o_orderkey") % 2 == 0).count()
+    assert sum(by_p.values()) == o.count()
+
+
+def test_moments_match_numpy(spark):
+    import numpy as np
+
+    rows = {r.event_type: r for r in QUERIES["agg_moments_shape"](spark, SF_SMALL).collect()}
+    vals = {}
+    for r in table(spark, SF_SMALL, "events").select("event_type", "value").collect():
+        vals.setdefault(r.event_type, []).append(r.value)
+    for et, xs in vals.items():
+        x = np.array(xs)
+        m = x.mean()
+        m2 = ((x - m) ** 2).mean()
+        m3 = ((x - m) ** 3).mean()
+        m4 = ((x - m) ** 4).mean()
+        assert abs(rows[et].skew - m3 / m2**1.5) < 1e-4
+        assert abs(rows[et].kurt - (m4 / m2**2 - 3)) < 1e-4
+
+
+def test_crypto_roundtrip_every_row_ok(spark):
+    rows = QUERIES["fn_crypto_roundtrip"](spark, SF_SMALL).collect()
+    assert len(rows) == 100
+    assert all(r.ok for r in rows)
