@@ -80,6 +80,8 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.experiments",
     "data_ingestor_web_app_spark.operators.markov",
     "data_ingestor_web_app_spark.operators.evolution",
+    "data_ingestor_web_app_spark.streaming.extra",
+    "data_ingestor_web_app_spark.llm.mixture",
 ]
 
 

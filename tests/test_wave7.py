@@ -75,5 +75,8 @@ def test_zorder_layout_prunes_either_dimension(spark):
         )
 
     z_files, x_files = files_touched(zpath), files_touched(xpath)
-    assert z_files <= 5, z_files  # 4 Morton blocks (+1 for a boundary file)
+    # 4 Morton blocks; repartitionByRange samples boundaries with a random
+    # seed, so up to 2 extra boundary files can hold stripe rows run-to-run
+    assert z_files <= 6, z_files
     assert x_files == 16, x_files
+    assert z_files * 2 < x_files  # the layout payoff the operator claims

@@ -384,3 +384,34 @@ def test_crypto_roundtrip_every_row_ok(spark):
     rows = QUERIES["fn_crypto_roundtrip"](spark, SF_SMALL).collect()
     assert len(rows) == 100
     assert all(r.ok for r in rows)
+
+
+def test_stream_windowed_topk_matches_batch(spark):
+    rows = QUERIES["stream_windowed_topk"](spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.rk <= 2
+    # streaming result must equal the batch computation exactly
+    e = table(spark, SF_SMALL, "events")
+    batch = (
+        e.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "win_start"
+            ),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    counts = {(r.win_start, r.event_type): r.n for r in batch}
+    for r in rows:
+        assert counts[(r.win_start, r.event_type)] == r.n
+
+
+def test_mixture_weights_normalize_and_respect_budget(spark):
+    rows = QUERIES["pipeline_mixture_weights"](spark, SF_SMALL).collect()
+    assert abs(sum(r.weight for r in rows) - 1.0) < 1e-3
+    assert sum(r.alloc_tokens for r in rows) <= 100_000
+    for r in rows:
+        assert 0 < r.quality <= 1
+        assert r.alloc_tokens >= 0
