@@ -82,6 +82,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.evolution",
     "data_ingestor_web_app_spark.streaming.extra",
     "data_ingestor_web_app_spark.llm.mixture",
+    "data_ingestor_web_app_spark.operators.spatial",
 ]
 
 

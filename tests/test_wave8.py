@@ -415,3 +415,47 @@ def test_mixture_weights_normalize_and_respect_budget(spark):
     for r in rows:
         assert 0 < r.quality <= 1
         assert r.alloc_tokens >= 0
+
+
+def test_weighted_median_matches_pure_python(spark):
+    rows = {r.event_type: r.weighted_median
+            for r in QUERIES["agg_weighted_percentile"](spark, SF_SMALL).collect()}
+    data = {}
+    for r in table(spark, SF_SMALL, "events").collect():
+        data.setdefault(r.event_type, []).append((r.value, 1 + r.user_id % 5))
+    for et, pts in data.items():
+        pts.sort()
+        total = sum(w for _, w in pts)
+        cum = 0.0
+        for v, w in pts:
+            cum += w
+            if cum >= total / 2:
+                assert abs(rows[et] - round(v, 2)) < 1e-9, et
+                break
+
+
+def test_spatial_grid_matches_bruteforce(spark):
+    got = {
+        (r.pid_a, r.pid_b)
+        for r in QUERIES["join_spatial_grid"](spark, SF_SMALL).collect()
+    }
+    pts = [
+        (r.event_id, r.value, float(r.user_id))
+        for r in table(spark, SF_SMALL, "events").where("event_id < 2000").collect()
+    ]
+    want = set()
+    for i, (pa, xa, ya) in enumerate(pts):
+        for pb, xb, yb in pts[i + 1:]:
+            if (xa - xb) ** 2 + (ya - yb) ** 2 <= 4.0:
+                want.add((min(pa, pb), max(pa, pb)))
+    assert got == want
+    assert want  # nonempty
+
+
+def test_epoch_shuffle_is_a_permutation_and_differs_by_epoch(spark):
+    rows = QUERIES["pipeline_epoch_shuffle"](spark, SF_SMALL).collect()
+    n_docs = table(spark, SF_SMALL, "documents").count()
+    for r in rows:
+        assert 1 <= r.pos1 <= n_docs and 1 <= r.pos2 <= n_docs
+    assert len({r.pos1 for r in rows}) == len(rows)  # injective on the sample
+    assert any(r.pos1 != r.pos2 for r in rows)  # epochs reorder
