@@ -194,10 +194,16 @@ def pipeline_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "b", F.row_number().over(wb).alias("local_pos")
         )
         sizes = bucketed.groupBy("b").agg(F.count("*").alias("n"))
-        # 256 rows: running offset of lexicographically smaller buckets
-        wo = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
-        offsets = sizes.select(
-            "b", F.coalesce(F.sum("n").over(wo), F.lit(0)).alias("off")
+        # running offset of lexicographically smaller buckets, via a
+        # triangular self-join over the 256-row bucket frame (a global-sort
+        # window would move the frame to one partition and trip the
+        # WindowExec warning; the join keeps even this tiny step shuffle-
+        # uniform and the pattern valid at any bucket count)
+        lesser = sizes.select(F.col("b").alias("lb"), F.col("n").alias("ln"))
+        offsets = (
+            sizes.join(lesser, F.col("lb") < F.col("b"), "left")
+            .groupBy("b")
+            .agg(F.coalesce(F.sum("ln"), F.lit(0)).alias("off"))
         )
         return local.join(F.broadcast(offsets), "b").select(
             "doc_id", (F.col("off") + F.col("local_pos")).alias(out)
