@@ -83,6 +83,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.streaming.extra",
     "data_ingestor_web_app_spark.llm.mixture",
     "data_ingestor_web_app_spark.operators.spatial",
+    "data_ingestor_web_app_spark.operators.stickiness",
 ]
 
 

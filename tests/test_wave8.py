@@ -459,3 +459,44 @@ def test_epoch_shuffle_is_a_permutation_and_differs_by_epoch(spark):
         assert 1 <= r.pos1 <= n_docs and 1 <= r.pos2 <= n_docs
     assert len({r.pos1 for r in rows}) == len(rows)  # injective on the sample
     assert any(r.pos1 != r.pos2 for r in rows)  # epochs reorder
+
+
+def test_zipf_fit_flags_synthetic_corpus(spark):
+    r = QUERIES["text_zipf_fit"](spark, SF_SMALL).first()
+    vocab = (
+        table(spark, SF_SMALL, "documents")
+        .select(F.explode(F.split("text", " ")).alias("t"))
+        .where("t <> ''")
+        .select(F.lower("t"))
+        .distinct()
+        .count()
+    )
+    assert r.n_terms == min(100, vocab)
+    assert r.zipf_slope < 0  # frequency still falls with rank
+    # the fixture is a uniform token salad, NOT Zipfian — the health check
+    # must flag it: natural corpora fit slope ~ -1 with r2 > 0.9
+    assert r.r2 < 0.5, r
+
+
+def test_hll_rollup_estimates_within_sketch_error(spark):
+    rows = {r.d: r.n_users_approx for r in QUERIES["agg_hll_union_rollup"](spark, SF_SMALL).collect()}
+    total_est = rows.pop("ALL")
+    e = table(spark, SF_SMALL, "events")
+    exact_total = e.select("user_id").distinct().count()
+    assert abs(total_est - exact_total) <= max(3, 0.05 * exact_total)
+    exact_daily = {
+        r.d: r.n
+        for r in e.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("d"))
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for d, est in rows.items():
+        assert abs(est - exact_daily[d]) <= max(3, 0.05 * exact_daily[d]), d
+
+
+def test_dau_wau_stickiness_bounds(spark):
+    rows = QUERIES["events_dau_wau_ratio"](spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert r.dau <= r.wau  # a day's actives are a subset of the week's
+        assert 0 < r.stickiness <= 1
