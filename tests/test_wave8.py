@@ -500,3 +500,64 @@ def test_dau_wau_stickiness_bounds(spark):
     for r in rows:
         assert r.dau <= r.wau  # a day's actives are a subset of the week's
         assert 0 < r.stickiness <= 1
+
+
+def test_simhash_pairs_are_hamming_close_and_similar(spark):
+    rows = QUERIES["dedup_simhash_pairs"](spark, SF_SMALL).collect()
+    assert rows
+    fp = {
+        r.doc_id: r.simhash
+        for r in QUERIES["dedup_simhash"](spark, SF_SMALL).collect()
+    }
+    seen = set()
+    for r in rows:
+        assert r.doc_a < r.doc_b
+        assert (r.doc_a, r.doc_b) not in seen  # first-band filter dedupes
+        seen.add((r.doc_a, r.doc_b))
+        # mask to unsigned 64-bit: Spark longs are signed two's-complement
+        assert bin((fp[r.doc_a] ^ fp[r.doc_b]) & (2**64 - 1)).count("1") == r.hamming
+        assert r.hamming <= 3
+    # hamming-close fingerprints must correspond to token-similar docs:
+    # median jaccard of emitted pairs far above a random-pair baseline
+    import random
+
+    texts = {
+        d.doc_id: set(d.text.split()) for d in table(spark, SF_SMALL, "documents").collect()
+    }
+
+    def jac(a, b):
+        i = len(texts[a] & texts[b])
+        return i / (len(texts[a]) + len(texts[b]) - i)
+
+    pair_j = sorted(jac(r.doc_a, r.doc_b) for r in rows)
+    med_pairs = pair_j[len(pair_j) // 2]
+    rng = random.Random(7)
+    ids = list(texts)
+    rand_j = sorted(
+        jac(*rng.sample(ids, 2)) for _ in range(500)
+    )
+    med_rand = rand_j[250]
+    assert med_pairs > med_rand, (med_pairs, med_rand)
+
+
+def test_welch_ttest_matches_scipy_style_formula(spark):
+    import math
+
+    r = QUERIES["agg_welch_ttest"](spark, SF_SMALL).first()
+    vals = {0: [], 1: []}
+    for row in table(spark, SF_SMALL, "events").select("user_id", "value").collect():
+        vals[row.user_id % 2].append(row.value)
+
+    def stats(xs):
+        n = len(xs)
+        m = sum(xs) / n
+        v = sum((x - m) ** 2 for x in xs) / (n - 1)
+        return n, m, v
+
+    n0, m0, v0 = stats(vals[0])
+    n1, m1, v1 = stats(vals[1])
+    se2 = v0 / n0 + v1 / n1
+    assert (r.n0, r.n1) == (n0, n1)
+    assert abs(r.t_stat - (m1 - m0) / math.sqrt(se2)) < 1e-4
+    df = se2**2 / ((v0 / n0) ** 2 / (n0 - 1) + (v1 / n1) ** 2 / (n1 - 1))
+    assert abs(r.df_welch - df) < 0.05
