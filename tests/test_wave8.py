@@ -561,3 +561,36 @@ def test_welch_ttest_matches_scipy_style_formula(spark):
     assert abs(r.t_stat - (m1 - m0) / math.sqrt(se2)) < 1e-4
     df = se2**2 / ((v0 / n0) ** 2 / (n0 - 1) + (v1 / n1) ** 2 / (n1 - 1))
     assert abs(r.df_welch - df) < 0.05
+
+
+def test_csv_malformed_modes_contract(spark):
+    r = QUERIES["scan_csv_malformed"](spark, SF_SMALL).first()
+    n_docs = table(spark, SF_SMALL, "documents").count()
+    assert r.n_corrupt + r.n_good == n_docs
+    assert r.n_corrupt > 0
+    expected_good_sum = sum(
+        d.doc_id
+        for d in table(spark, SF_SMALL, "documents").select("doc_id").collect()
+        if d.doc_id % 10 != 0
+    )
+    assert r.sum_good_ids == expected_good_sum
+
+
+def test_null_safe_join_pairs_null_populations(spark):
+    rows = {r.k: r.n_pairs for r in QUERIES["join_null_safe_eq"](spark, SF_SMALL).collect()}
+    o = table(spark, SF_SMALL, "orders")
+    n_null_left = o.where(F.col("o_orderkey") % 7 == 0).count()
+    n_null_right = 34  # ids 0,3,...,99
+    assert rows["<null>"] == n_null_left * n_null_right
+    # an ordinary equi join would have dropped them entirely
+    assert "<null>" in rows and rows["<null>"] > 0
+
+
+def test_bpe_merge_shrinks_corpus_by_pair_occurrences(spark):
+    r = QUERIES["text_bpe_merge_step"](spark, SF_SMALL).first()
+    assert " " in r.merged_pair
+    assert r.tokens_after < r.tokens_before
+    # each NON-OVERLAPPING replaced occurrence removes exactly one token;
+    # adjacent repeats can suppress some merges, never add tokens
+    assert r.tokens_before - r.tokens_after <= r.pair_count
+    assert r.tokens_before - r.tokens_after > 0
