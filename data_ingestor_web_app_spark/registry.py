@@ -86,6 +86,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.stickiness",
     "data_ingestor_web_app_spark.llm.simhash_pairs",
     "data_ingestor_web_app_spark.operators.robustness",
+    "data_ingestor_web_app_spark.llm.canonical",
 ]
 
 

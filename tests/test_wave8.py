@@ -594,3 +594,48 @@ def test_bpe_merge_shrinks_corpus_by_pair_occurrences(spark):
     # adjacent repeats can suppress some merges, never add tokens
     assert r.tokens_before - r.tokens_after <= r.pair_count
     assert r.tokens_before - r.tokens_after > 0
+
+
+def test_keep_best_selects_highest_quality_member(spark):
+    best = {r.cluster_rep: r for r in QUERIES["pipeline_keep_best"](spark, SF_SMALL).collect()}
+    clusters = {}
+    for r in QUERIES["dedup_clusters"](spark, SF_SMALL).collect():
+        clusters.setdefault(r.cluster_rep, []).append(r.doc_id)
+    texts = {d.doc_id: d.text for d in table(spark, SF_SMALL, "documents").collect()}
+
+    def q(doc):
+        t = texts[doc].split(" ")
+        return round(len(set(t)) / len(t), 6)
+
+    assert set(best) == set(clusters)
+    for rep, members in clusters.items():
+        want = min(members, key=lambda d: (-q(d), d))
+        assert best[rep].keeper == want, (rep, members)
+        assert best[rep].cluster_size == len(members)
+
+
+def test_survival_curve_is_monotone_from_one(spark):
+    rows = sorted(QUERIES["events_survival_retention"](spark, SF_SMALL).collect(), key=lambda r: r.k)
+    assert rows[0].k == 0 and rows[0].survival_rate == 1.0
+    assert all(a.n_surviving >= b.n_surviving for a, b in zip(rows, rows[1:]))
+
+
+def test_chi_square_matches_pure_python(spark):
+    r = QUERIES["agg_chi_square"](spark, SF_SMALL).first()
+    from collections import Counter
+    c = Counter()
+    for row in table(spark, SF_SMALL, "events").select("user_id", "event_type").collect():
+        c[(row.user_id % 2, row.event_type)] += 1
+    variants = {k[0] for k in c}
+    types = {k[1] for k in c}
+    n = sum(c.values())
+    rt = {v: sum(x for k, x in c.items() if k[0] == v) for v in variants}
+    ct = {t: sum(x for k, x in c.items() if k[1] == t) for t in types}
+    chi2 = sum(
+        (c[(v, t)] - rt[v] * ct[t] / n) ** 2 / (rt[v] * ct[t] / n)
+        for v in variants
+        for t in types
+    )
+    assert abs(r.chi2 - chi2) < 1e-4
+    assert r.dof == (len(variants) - 1) * (len(types) - 1)
+    assert r.n_cells == len(c)
