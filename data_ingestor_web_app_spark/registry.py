@@ -87,6 +87,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.llm.simhash_pairs",
     "data_ingestor_web_app_spark.operators.robustness",
     "data_ingestor_web_app_spark.llm.canonical",
+    "data_ingestor_web_app_spark.llm.lm_score",
 ]
 
 

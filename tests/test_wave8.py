@@ -639,3 +639,45 @@ def test_chi_square_matches_pure_python(spark):
     assert abs(r.chi2 - chi2) < 1e-4
     assert r.dof == (len(variants) - 1) * (len(types) - 1)
     assert r.n_cells == len(c)
+
+
+def test_bigram_lm_score_matches_pure_python(spark):
+    rows = {r.doc_id: r for r in QUERIES["text_bigram_lm_score"](spark, SF_SMALL).collect()}
+    import math
+    from collections import Counter
+    texts = {d.doc_id: d.text.split(" ") for d in table(spark, SF_SMALL, "documents").collect()}
+    uni, bi = Counter(), Counter()
+    for t in texts.values():
+        uni.update(t)
+        bi.update(zip(t, t[1:]))
+    v = len(uni)
+    for doc_id in list(texts)[:10]:
+        t = texts[doc_id]
+        nlls = [-math.log((bi[(a, b)] + 1.0) / (uni[a] + v)) for a, b in zip(t, t[1:])]
+        r = rows[doc_id]
+        assert r.n_bigrams == len(nlls)
+        assert abs(r.avg_nll - sum(nlls) / len(nlls)) < 1e-5
+
+
+def test_peak_concurrency_bounds(spark):
+    rows = QUERIES["events_peak_concurrency"](spark, SF_SMALL).collect()
+    e = table(spark, SF_SMALL, "events")
+    per_day = {
+        r.d: r.n
+        for r in e.groupBy(F.date_format(F.col("ts").cast("date"), "yyyy-MM-dd").alias("d"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert {r.d for r in rows} == set(per_day)
+    for r in rows:
+        assert 1 <= r.peak_concurrent <= per_day[r.d]
+
+
+def test_centroid_cohesion_within_cosine_range(spark):
+    rows = QUERIES["sim_label_centroid_stats"](spark, SF_SMALL).collect()
+    e = table(spark, SF_SMALL, "embeddings")
+    assert sum(r.n_members for r in rows) == e.count()
+    for r in rows:
+        assert -1.0 <= r.min_cos_to_centroid <= r.mean_cos_to_centroid <= 1.0
+        # members correlate positively with their own centroid on average
+        assert r.mean_cos_to_centroid > 0
