@@ -88,6 +88,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.robustness",
     "data_ingestor_web_app_spark.llm.canonical",
     "data_ingestor_web_app_spark.llm.lm_score",
+    "data_ingestor_web_app_spark.llm.incremental",
 ]
 
 

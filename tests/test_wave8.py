@@ -681,3 +681,22 @@ def test_centroid_cohesion_within_cosine_range(spark):
         assert -1.0 <= r.min_cos_to_centroid <= r.mean_cos_to_centroid <= 1.0
         # members correlate positively with their own centroid on average
         assert r.mean_cos_to_centroid > 0
+
+
+def test_incremental_dedup_accepts_plus_rejects_equals_batch(spark):
+    rows = QUERIES["pipeline_incremental_dedup"](spark, SF_SMALL).collect()
+    d = table(spark, SF_SMALL, "documents")
+    n_batch = d.where(F.col("doc_id") % 5 == 0).count()
+    assert sum(r.n_new for r in rows) == n_batch
+    for r in rows:
+        assert r.n_accepted == r.n_new - r.n_dup_vs_corpus
+    # the fixture plants exact duplicates across the split, so some must hit
+    assert sum(r.n_dup_vs_corpus for r in rows) > 0
+
+
+def test_subsample_ci_brackets_population_mean(spark):
+    r = QUERIES["agg_subsample_ci"](spark, SF_SMALL).first()
+    pop_mean = table(spark, SF_SMALL, "events").agg(F.avg("value")).first()[0]
+    assert r.n_resamples == 10
+    assert r.lo <= pop_mean <= r.hi  # half-samples straddle the truth
+    assert r.se_est > 0
