@@ -700,3 +700,38 @@ def test_subsample_ci_brackets_population_mean(spark):
     assert r.n_resamples == 10
     assert r.lo <= pop_mean <= r.hi  # half-samples straddle the truth
     assert r.se_est > 0
+
+
+def test_regex_family_matches_python_re(spark):
+    import re
+
+    rows = QUERIES["fn_regex"](spark, SF_SMALL).limit(20).collect()
+    texts = {
+        d.doc_id: d.text[:40]
+        for d in table(spark, SF_SMALL, "documents").where("doc_id < 200").collect()
+    }
+    for r in rows:
+        t = texts[r.doc_id]
+        assert r.first_word == (re.search(r"[a-z]+", t).group(0) if re.search(r"[a-z]+", t) else "")
+        assert r.n_long_words == len(re.findall(r"[a-z]{5,}", t))
+        assert r.mentions_table == bool(re.search("table", t))
+        assert r.devoweled_prefix == re.sub(r"[aeiou]", "_", t)
+
+
+def test_seasonality_shares_sum_to_one(spark):
+    rows = QUERIES["events_seasonality_profile"](spark, SF_SMALL).collect()
+    assert abs(sum(r.traffic_share for r in rows) - 1.0) < 1e-3
+    assert all(0 <= r.dow <= 6 and 0 <= r.hod <= 23 for r in rows)
+    assert sum(r.n for r in rows) == table(spark, SF_SMALL, "events").count()
+
+
+def test_sft_format_roundtrips_document(spark):
+    rows = QUERIES["pipeline_sft_format"](spark, SF_SMALL).limit(20).collect()
+    texts = {
+        d.doc_id: d.text
+        for d in table(spark, SF_SMALL, "documents").where("doc_id < 200").collect()
+    }
+    for r in rows:
+        body = r.sample.replace("<|user|>", "").replace("<|assistant|>", " ")
+        assert body == texts[r.doc_id]
+        assert r.prompt_tokens == r.n_tokens // 2
