@@ -735,3 +735,45 @@ def test_sft_format_roundtrips_document(spark):
         body = r.sample.replace("<|user|>", "").replace("<|assistant|>", " ")
         assert body == texts[r.doc_id]
         assert r.prompt_tokens == r.n_tokens // 2
+
+
+def test_change_point_is_argmax_of_cusum(spark):
+    rows = QUERIES["events_change_point"](spark, SF_SMALL).collect()
+    e = table(spark, SF_SMALL, "events")
+    types = {r.event_type for r in e.select("event_type").distinct().collect()}
+    assert {r.event_type for r in rows} == types
+    # recompute one type in pure python
+    et = sorted(types)[0]
+    daily = {}
+    for r in e.where(F.col("event_type") == et).select(F.col("ts").cast("date").alias("d")).collect():
+        daily[r.d] = daily.get(r.d, 0) + 1
+    m = sum(daily.values()) / len(daily)
+    c, best = 0.0, (0.0, None)
+    for d in sorted(daily):
+        c += daily[d] - m
+        if abs(c) > abs(best[0]):
+            best = (c, d)
+    got = next(r for r in rows if r.event_type == et)
+    assert got.change_day == best[1].isoformat()
+    assert abs(got.cusum_peak - round(best[0], 4)) < 1e-6
+
+
+def test_gini_in_unit_interval_and_uniform_is_low(spark):
+    rows = QUERIES["agg_gini"](spark, SF_SMALL).collect()
+    for r in rows:
+        assert 0 <= r.gini < 1
+    # fixture values are ~uniform-ish on (0, 500): gini far below whale-land
+    assert all(r.gini < 0.6 for r in rows)
+
+
+def test_image_quadrants_tile_each_image_exactly(spark):
+    rows = QUERIES["mm_image_quadrants"](spark, SF_SMALL).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, quads in by_doc.items():
+        assert sorted(q.quadrant for q in quads) == [0, 1, 2, 3]
+        w, h = 16 + doc_id % 16, 16 + (doc_id * 3) % 16
+        assert sum(q.n_px for q in quads) == w * h
+        for q in quads:
+            assert 0 <= q.mean_intensity <= 255
