@@ -777,3 +777,44 @@ def test_image_quadrants_tile_each_image_exactly(spark):
         assert sum(q.n_px for q in quads) == w * h
         for q in quads:
             assert 0 <= q.mean_intensity <= 255
+
+
+def test_entropy_profile_bounds(spark):
+    import math
+
+    rows = QUERIES["events_entropy_profile"](spark, SF_SMALL).collect()
+    e = table(spark, SF_SMALL, "events")
+    n_users = e.select("user_id").distinct().count()
+    assert sum(r.n_users for r in rows) == n_users
+    for r in rows:
+        assert 0 <= r.min_entropy <= r.mean_entropy <= r.max_entropy
+        assert r.max_entropy <= math.log(r.n_types) + 1e-9
+
+
+def test_mutual_info_near_zero_for_parity_split(spark):
+    r = QUERIES["agg_mutual_info"](spark, SF_SMALL).first()
+    # parity assignment is independent of behavior: MI ~ 0 (nats)
+    assert 0 <= r.mutual_info_nats < 0.01
+
+
+def test_length_buckets_partition_corpus_and_bound_efficiency(spark):
+    rows = QUERIES["pipeline_length_buckets"](spark, SF_SMALL).collect()
+    d = table(spark, SF_SMALL, "documents")
+    assert sum(r.n_docs for r in rows) == d.count()
+    for r in rows:
+        assert 0.5 < r.packing_efficiency <= 1.0 or r.n_docs == 1
+        assert r.real_tokens <= r.padded_tokens
+        assert r.max_len <= 2**r.bucket
+
+
+def test_vocab_growth_is_monotone_and_ends_at_full_vocab(spark):
+    rows = sorted(QUERIES["text_vocab_growth"](spark, SF_SMALL).collect(), key=lambda r: r.decile)
+    assert [r.decile for r in rows] == list(range(1, 11))
+    assert all(a.vocab_size <= b.vocab_size for a, b in zip(rows, rows[1:]))
+    full_vocab = (
+        table(spark, SF_SMALL, "documents")
+        .select(F.explode(F.split("text", " ")).alias("t"))
+        .distinct()
+        .count()
+    )
+    assert rows[-1].vocab_size == full_vocab
