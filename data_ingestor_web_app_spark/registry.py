@@ -92,6 +92,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.functions.regex_family",
     "data_ingestor_web_app_spark.operators.changepoint",
     "data_ingestor_web_app_spark.operators.information",
+    "data_ingestor_web_app_spark.streaming.cdc",
 ]
 
 
