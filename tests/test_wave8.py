@@ -818,3 +818,35 @@ def test_vocab_growth_is_monotone_and_ends_at_full_vocab(spark):
         .count()
     )
     assert rows[-1].vocab_size == full_vocab
+
+
+def test_time_to_convert_sanity(spark):
+    r = QUERIES["events_time_to_convert"](spark, SF_SMALL).first()
+    assert r.n_converted > 0
+    assert 0 <= r.min_hours <= r.median_hours <= r.max_hours
+    n_users = table(spark, SF_SMALL, "events").select("user_id").distinct().count()
+    assert r.n_converted <= n_users
+
+
+def test_winsorized_mean_is_pulled_toward_center(spark):
+    rows = QUERIES["agg_winsorized_mean"](spark, SF_SMALL).collect()
+    for r in rows:
+        assert r.p05 <= r.winsorized_mean <= r.p95
+        # clamping a right-skewed positive distribution can only move the
+        # mean within the band; it must stay close to but not equal raw
+        assert abs(r.winsorized_mean - r.raw_mean) < (r.p95 - r.p05)
+
+
+def test_langid_confusion_diagonal_dominates(spark):
+    rows = QUERIES["text_langid_confusion"](spark, SF_SMALL).collect()
+    n_docs = table(spark, SF_SMALL, "documents").count()
+    assert sum(r.n for r in rows) == n_docs
+    from collections import defaultdict
+    shares = defaultdict(float)
+    for r in rows:
+        shares[r.labeled_lang] += r.row_share
+    for lang, s in shares.items():
+        assert abs(s - 1.0) < 1e-3, (lang, s)
+    # the marker heuristic must beat chance on its own training corpus
+    diag = sum(r.n for r in rows if r.labeled_lang == r.pred_lang)
+    assert diag / n_docs > 0.5
