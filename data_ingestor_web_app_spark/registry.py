@@ -94,6 +94,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.information",
     "data_ingestor_web_app_spark.streaming.cdc",
     "data_ingestor_web_app_spark.operators.conversion",
+    "data_ingestor_web_app_spark.operators.warehouse",
 ]
 
 

@@ -856,3 +856,42 @@ def test_langid_confusion_diagonal_dominates(spark):
     diag = sum(r.n for r in rows if r.labeled_lang == r.pred_lang)
     n_en = sum(r.n for r in rows if r.labeled_lang == "en")
     assert diag == n_en
+
+
+def test_accumulating_snapshot_one_row_per_order(spark):
+    out = QUERIES["join_accumulating_snapshot"](spark, SF_SMALL)
+    rows = out.collect()
+    keys = [r.o_orderkey for r in rows]
+    assert len(keys) == len(set(keys))
+    for r in rows[:50]:
+        assert r.first_ship_day <= r.last_ship_day
+        assert r.n_lines >= 1
+        assert r.revenue_micro > 0
+
+
+def test_pareto_skyline_matches_bruteforce_dominance(spark):
+    rows = {r.o_orderpriority: r for r in QUERIES["agg_pareto_skyline"](spark, SF_SMALL).collect()}
+    pts = [
+        (r.o_orderpriority, r.o_totalprice, r.d, r.o_orderkey)
+        for r in table(spark, SF_SMALL, "orders")
+        .select("o_orderpriority", "o_totalprice", F.col("o_orderdate").cast("date").alias("d"), "o_orderkey")
+        .collect()
+    ]
+    from collections import defaultdict
+    groups = defaultdict(list)
+    for p in pts:
+        groups[p[0]].append(p)
+    for prio, g in groups.items():
+        skyline = [
+            a for a in g
+            if not any(b[1] > a[1] and b[2] > a[2] for b in g)
+        ]
+        assert rows[prio].skyline_size == len(skyline), prio
+        assert rows[prio].max_price == round(max(a[1] for a in skyline), 2)
+
+
+def test_mad_is_robust_to_an_outlier(spark):
+    rows = {r.event_type: r for r in QUERIES["agg_mad"](spark, SF_SMALL).collect()}
+    for r in rows.values():
+        assert r.mad > 0
+        assert abs(r.sigma_robust - round(r.mad * 1.4826, 4)) < 2e-4
