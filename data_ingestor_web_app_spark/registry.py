@@ -95,6 +95,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.streaming.cdc",
     "data_ingestor_web_app_spark.operators.conversion",
     "data_ingestor_web_app_spark.operators.warehouse",
+    "data_ingestor_web_app_spark.operators.streaks",
 ]
 
 

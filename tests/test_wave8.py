@@ -895,3 +895,43 @@ def test_mad_is_robust_to_an_outlier(spark):
     for r in rows.values():
         assert r.mad > 0
         assert abs(r.sigma_robust - round(r.mad * 1.4826, 4)) < 2e-4
+
+
+def test_streak_histogram_covers_all_users(spark):
+    rows = QUERIES["win_streak_days"](spark, SF_SMALL).collect()
+    n_users = table(spark, SF_SMALL, "events").select("user_id").distinct().count()
+    assert sum(r.n_users for r in rows) == n_users
+    assert all(r.longest_streak >= 1 for r in rows)
+
+
+def test_interarrival_median_le_mean_for_bursty_traffic(spark):
+    rows = QUERIES["events_interarrival_stats"](spark, SF_SMALL).collect()
+    e = table(spark, SF_SMALL, "events")
+    per_type = {r.event_type: r.n for r in e.groupBy("event_type").agg(F.count("*").alias("n")).collect()}
+    for r in rows:
+        assert r.n_gaps == per_type[r.event_type] - 1
+        assert 0 <= r.median_gap_sec <= r.max_gap_sec
+        assert r.mean_gap_sec > 0
+
+
+def test_sparse_matmul_matches_numpy(spark):
+    import numpy as np
+
+    rows = QUERIES["join_sparse_matmul"](spark, SF_SMALL).collect()
+    e = table(spark, SF_SMALL, "events").select(
+        "user_id", "event_type", (F.dayofweek("ts") - 1).alias("dow")
+    ).collect()
+    users = sorted({r.user_id for r in e})
+    types = sorted({r.event_type for r in e})
+    dows = sorted({r.dow for r in e})
+    ui = {u: n for n, u in enumerate(users)}
+    ti = {t: n for n, t in enumerate(types)}
+    di = {d: n for n, d in enumerate(dows)}
+    A = np.zeros((len(users), len(types)), dtype=np.int64)
+    B = np.zeros((len(types), len(dows)), dtype=np.int64)
+    for r in e:
+        A[ui[r.user_id], ti[r.event_type]] += 1
+        B[ti[r.event_type], di[r.dow]] += 1
+    C = A @ B
+    for r in rows:
+        assert r.v == C[ui[r.i], di[int(r.k)]], r
