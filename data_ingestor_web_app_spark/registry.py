@@ -96,6 +96,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.conversion",
     "data_ingestor_web_app_spark.operators.warehouse",
     "data_ingestor_web_app_spark.operators.streaks",
+    "data_ingestor_web_app_spark.operators.audits",
 ]
 
 

@@ -935,3 +935,49 @@ def test_sparse_matmul_matches_numpy(spark):
     C = A @ B
     for r in rows:
         assert r.v == C[ui[r.i], di[int(r.k)]], r
+
+
+def test_benford_distribution_is_complete(spark):
+    import math
+
+    rows = {r.d: r for r in QUERIES["agg_benford"](spark, SF_SMALL).collect()}
+    assert set(rows) <= set(range(1, 10))
+    assert abs(sum(r.observed for r in rows.values()) - 1.0) < 1e-3
+    for d, r in rows.items():
+        assert abs(r.benford - math.log10(1 + 1 / d)) < 1e-6
+    o = table(spark, SF_SMALL, "orders").where("o_totalprice >= 1").count()
+    assert sum(r.n for r in rows.values()) == o
+
+
+def test_table_checksum_detects_a_single_row_change(spark):
+    base = QUERIES["scan_table_checksum"](spark, SF_SMALL).first()
+    # recompute over a tampered copy: one row's price bumped by a cent
+    o = table(spark, SF_SMALL, "orders")
+    tampered = o.withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") == 1, F.col("o_totalprice") + 0.01).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    canon = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").cast("string"),
+        F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM-dd"),
+    )
+    h = F.conv(F.substring(F.md5(canon), 1, 10), 16, 10).cast("bigint")
+    t = tampered.select(h.alias("h")).agg(
+        F.count("*").alias("n_rows"), F.sum("h").alias("checksum_sum")
+    ).first()
+    assert t.n_rows == base.n_rows
+    assert t.checksum_sum != base.checksum_sum  # the fingerprint must move
+
+
+def test_curriculum_phases_are_ordered_and_cover_corpus(spark):
+    rows = sorted(QUERIES["pipeline_curriculum"](spark, SF_SMALL).collect(), key=lambda r: r.phase)
+    assert [r.phase for r in rows] == [1, 2, 3]
+    n_docs = table(spark, SF_SMALL, "documents").count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    assert rows[0].mean_nll < rows[1].mean_nll < rows[2].mean_nll
+    assert rows[0].max_nll <= rows[1].min_nll + 1e-9
