@@ -97,6 +97,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.warehouse",
     "data_ingestor_web_app_spark.operators.streaks",
     "data_ingestor_web_app_spark.operators.audits",
+    "data_ingestor_web_app_spark.llm.span_corruption",
 ]
 
 

@@ -981,3 +981,25 @@ def test_curriculum_phases_are_ordered_and_cover_corpus(spark):
     assert sum(r.n_docs for r in rows) == n_docs
     assert rows[0].mean_nll < rows[1].mean_nll < rows[2].mean_nll
     assert rows[0].max_nll <= rows[1].min_nll + 1e-9
+
+
+def test_span_corruption_arithmetic(spark):
+    rows = QUERIES["pipeline_span_corruption"](spark, SF_SMALL).collect()
+    for r in rows:
+        # every span fits; masked+unmasked+sentinels reconcile
+        assert r.masked_tokens == 3 * r.n_spans
+        assert r.input_len == r.n_tokens - r.masked_tokens + r.n_spans
+        assert r.target_len == r.masked_tokens + r.n_spans
+        assert 0 <= r.corruption_rate < 0.5
+        if r.n_tokens >= 3:
+            assert r.n_spans == (r.n_tokens - 3) // 8 + 1
+
+
+def test_burstiness_fano_positive_and_minutes_bounded(spark):
+    rows = QUERIES["events_burstiness"](spark, SF_SMALL).collect()
+    e = table(spark, SF_SMALL, "events")
+    per_type = {r.event_type: r.n for r in e.groupBy("event_type").agg(F.count("*").alias("n")).collect()}
+    for r in rows:
+        assert r.fano_factor > 0
+        assert r.n_active_minutes <= per_type[r.event_type]
+        assert r.mean_per_min * r.n_active_minutes == per_type[r.event_type]
