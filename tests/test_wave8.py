@@ -990,7 +990,8 @@ def test_span_corruption_arithmetic(spark):
         assert r.masked_tokens == 3 * r.n_spans
         assert r.input_len == r.n_tokens - r.masked_tokens + r.n_spans
         assert r.target_len == r.masked_tokens + r.n_spans
-        assert 0 <= r.corruption_rate < 0.5
+        # short docs can exceed the asymptotic ~37% rate (stride effects)
+        assert 0 <= r.corruption_rate <= 1.0
         if r.n_tokens >= 3:
             assert r.n_spans == (r.n_tokens - 3) // 8 + 1
 
@@ -1000,6 +1001,7 @@ def test_burstiness_fano_positive_and_minutes_bounded(spark):
     e = table(spark, SF_SMALL, "events")
     per_type = {r.event_type: r.n for r in e.groupBy("event_type").agg(F.count("*").alias("n")).collect()}
     for r in rows:
-        assert r.fano_factor > 0
+        # a type with exactly one event per active minute has zero variance
+        assert r.fano_factor >= 0
         assert r.n_active_minutes <= per_type[r.event_type]
         assert r.mean_per_min * r.n_active_minutes == per_type[r.event_type]
