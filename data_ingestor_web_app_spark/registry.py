@@ -98,6 +98,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.streaks",
     "data_ingestor_web_app_spark.operators.audits",
     "data_ingestor_web_app_spark.llm.span_corruption",
+    "data_ingestor_web_app_spark.functions.codecs_fn",
 ]
 
 

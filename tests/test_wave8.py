@@ -1005,3 +1005,25 @@ def test_burstiness_fano_positive_and_minutes_bounded(spark):
         assert r.fano_factor >= 0
         assert r.n_active_minutes <= per_type[r.event_type]
         assert r.mean_per_min * r.n_active_minutes == per_type[r.event_type]
+
+
+def test_base64_roundtrip_and_length_law(spark):
+    import math
+
+    rows = QUERIES["fn_base64"](spark, SF_SMALL).collect()
+    assert all(r.roundtrip_ok for r in rows)
+    for r in rows:
+        assert r.n_encoded == 4 * math.ceil(r.n_plain / 3)
+
+
+def test_wow_change_matches_recomputation(spark):
+    rows = QUERIES["events_wow_change"](spark, SF_SMALL).collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    for g in by_type.values():
+        g.sort(key=lambda r: r.week)
+        assert g[0].prev_n is None and g[0].pct_change is None
+        for prev, cur in zip(g, g[1:]):
+            assert cur.prev_n == prev.n
+            assert abs(cur.pct_change - round((cur.n - prev.n) * 100.0 / prev.n, 4)) < 1e-9
