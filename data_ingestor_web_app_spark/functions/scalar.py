@@ -134,7 +134,7 @@ def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
            SQRT(l_quantity) AS qty_sqrt,
            ROUND(LN(l_extendedprice), 6) AS ln_price,
            l_orderkey % 7 AS key_mod7,
-           SIGN(l_discount - 0.05) AS disc_sign,
+           CAST(SIGN(l_discount - 0.05) AS DOUBLE) AS disc_sign,
            ROUND(l_quantity / 2, 0) AS half_qty
     FROM lineitem
     """,

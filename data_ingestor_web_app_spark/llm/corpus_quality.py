@@ -209,8 +209,8 @@ def pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT c.doc_id,
            COUNT(*) AS n_chunks,
-           SUM(CASE WHEN c.doc_id * 100000 + c.chunk_idx = k.keeper
-                    THEN 1 ELSE 0 END) AS n_kept
+           CAST(SUM(CASE WHEN c.doc_id * 100000 + c.chunk_idx = k.keeper
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
     FROM chunks c JOIN keep k ON k.chunk = c.chunk
     GROUP BY c.doc_id
     """,
@@ -276,66 +276,100 @@ def dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-3 cosine neighbor graph over the WHOLE corpus (the
-    semantic-dedup / SemDeDup clustering input, public), via blocked GEMM:
-    the corpus matrix is broadcast once (N×64 float64; bounded by the same
-    memory budget that makes exact k-NN feasible at all), and each
-    partition's rows matmul against it in one Arrow batch — no shuffle, no
-    pairwise explode. Per-row top-k is a partial sort (argpartition) inside
-    the kernel, so only N×k rows ever leave Python.
+    semantic-dedup / SemDeDup clustering input, public), via BUCKETED
+    BLOCK-PAIR GEMM — fully distributed, nothing ever collected to the
+    driver. Rows hash to B = ceil(N / block_rows) blocks; each row is
+    replicated to every (its-block, other-block) pair tag; applyInPandas
+    groups one block pair per task and runs ONE numpy matmul per pair,
+    emitting only the per-pair top-3 candidates per query row. A final
+    per-qid window merges the B partial top-3 lists — the global top-3 is
+    always inside that union, so the result is exact.
+
+    Cost model: shuffle is 2·N·B embedding rows (B ≈ √N at the default
+    block size → O(N^1.5) bytes), each task is a (N/B)² ×dim GEMM, and
+    only N·B·3 scalar candidates reach the merge window. No task, and no
+    single machine, ever holds the whole corpus.
 
     Determinism: cosines are float64 end-to-end and rounded to 6dp BEFORE
     ranking in both engines; rank ties at 6dp break by neighbor id.
 
-    Scale: exact k-NN is O(N²) by nature — this kernel is the right exact
-    shape (GEMM-bound, zero shuffle); beyond broadcastable N the engine's
-    ANN path (sim_ann_lsh / sim_ann_multiprobe) is the documented route."""
+    Scale: exact k-NN is O(N²) by nature — block pairs spread that work
+    evenly across the cluster; beyond exact-feasible N the engine's ANN
+    path (sim_ann_lsh / sim_ann_multiprobe / sim_ivf_topk) is the
+    documented route."""
+    return _knn_graph_blocked(spark, sf_dir, block_rows=1024)
+
+
+def _knn_graph_blocked(spark: SparkSession, sf_dir: str, block_rows: int) -> DataFrame:
     import numpy as np
     import pandas as pd
 
     e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    rows = e.toPandas()
-    ids = rows["vec_id"].to_numpy(dtype=np.int64)
-    mat = np.stack(rows["embedding"].to_numpy()).astype(np.float64)
-    nrm = np.sqrt((mat * mat).sum(axis=1))
-    sc = spark.sparkContext
-    b_ids, b_mat, b_nrm = sc.broadcast(ids), sc.broadcast(mat), sc.broadcast(nrm)
+    # sizing only: ONE scalar to the driver, never row data
+    n = e.count()
+    n_blocks = max(1, min(64, -(-n // block_rows)))
 
-    out_schema = T.StructType(
+    blk = (F.col("vec_id") % n_blocks).cast("int")
+    tags = F.array(*[F.lit(i) for i in range(n_blocks)])
+    # query rows fan out across corpus blocks; corpus rows across query blocks
+    qx = e.select(
+        blk.alias("qb"),
+        F.explode(tags).alias("cb"),
+        F.col("vec_id").alias("id"),
+        F.col("embedding").alias("v"),
+        F.lit("q").alias("role"),
+    )
+    cx = e.select(
+        F.explode(tags).alias("qb"),
+        blk.alias("cb"),
+        F.col("vec_id").alias("id"),
+        F.col("embedding").alias("v"),
+        F.lit("c").alias("role"),
+    )
+    both = qx.unionByName(cx)
+
+    cand_schema = T.StructType(
         [
             T.StructField("qid", T.LongType()),
             T.StructField("nid", T.LongType()),
             T.StructField("cosine", T.DoubleType()),
-            T.StructField("rk", T.IntegerType()),
         ]
     )
 
-    def knn_block(batches):
-        cids, cmat, cnrm = b_ids.value, b_mat.value, b_nrm.value
-        order = np.argsort(cids)  # id-ordered for deterministic tie-break
-        cids_s, cmat_s, cnrm_s = cids[order], cmat[order], cnrm[order]
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            q = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            qids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            qn = np.sqrt((q * q).sum(axis=1))
-            cosm = np.round((q @ cmat_s.T) / np.outer(qn, cnrm_s), 6)
-            # exclude self by id
-            self_mask = qids[:, None] == cids_s[None, :]
-            cosm[self_mask] = -np.inf
-            # top-3: sort by (-cosine, nid); cids_s is ascending so a stable
-            # sort on -cosine breaks ties by neighbor id automatically
-            idx = np.argsort(-cosm, axis=1, kind="stable")[:, :3]
-            yield pd.DataFrame(
-                {
-                    "qid": np.repeat(qids, 3),
-                    "nid": cids_s[idx].ravel(),
-                    "cosine": np.take_along_axis(cosm, idx, axis=1).ravel(),
-                    "rk": np.tile(np.arange(1, 4, dtype=np.int32), len(qids)),
-                }
+    def pair_kernel(pdf):
+        qs = pdf[pdf["role"] == "q"]
+        cs = pdf[pdf["role"] == "c"].sort_values("id")  # id-asc for tie-break
+        if qs.empty or cs.empty:
+            return pd.DataFrame({"qid": [], "nid": [], "cosine": []}).astype(
+                {"qid": "int64", "nid": "int64", "cosine": "float64"}
             )
+        q = np.stack(qs["v"].to_numpy()).astype(np.float64)
+        c = np.stack(cs["v"].to_numpy()).astype(np.float64)
+        qids = qs["id"].to_numpy(dtype=np.int64)
+        cids = cs["id"].to_numpy(dtype=np.int64)
+        qn = np.sqrt((q * q).sum(axis=1))
+        cn = np.sqrt((c * c).sum(axis=1))
+        cosm = np.round((q @ c.T) / np.outer(qn, cn), 6)
+        cosm[qids[:, None] == cids[None, :]] = -np.inf  # exclude self
+        k = min(3, c.shape[0])
+        # stable sort on -cosine over id-ascending corpus → ties break by nid
+        idx = np.argsort(-cosm, axis=1, kind="stable")[:, :k]
+        cos_top = np.take_along_axis(cosm, idx, axis=1).ravel()
+        out = pd.DataFrame(
+            {
+                "qid": np.repeat(qids, k),
+                "nid": cids[idx].ravel(),
+                "cosine": cos_top,
+            }
+        )
+        return out[np.isfinite(out["cosine"])]
 
-    return e.mapInPandas(knn_block, schema=out_schema)
+    cands = both.groupBy("qb", "cb").applyInPandas(pair_kernel, schema=cand_schema)
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), "nid")
+    return (
+        cands.withColumn("rk", F.row_number().over(w).cast("int"))
+        .where(F.col("rk") <= 3)
+    )
 
 
 @query(

@@ -39,8 +39,8 @@ from data_ingestor_web_app_spark.registry import query
     )
     SELECT source,
            COUNT(*) AS n_new,
-           SUM(is_dup) AS n_dup_vs_corpus,
-           COUNT(*) - SUM(is_dup) AS n_accepted
+           CAST(SUM(is_dup) AS BIGINT) AS n_dup_vs_corpus,
+           CAST(COUNT(*) - SUM(is_dup) AS BIGINT) AS n_accepted
     FROM flagged GROUP BY source
     """,
 )

@@ -113,7 +113,7 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 ROWS UNBOUNDED PRECEDING) AS live
         FROM deltas
     )
-    SELECT STRFTIME(d, '%Y-%m-%d') AS d, MAX(live) AS peak_concurrent
+    SELECT STRFTIME(d, '%Y-%m-%d') AS d, CAST(MAX(live) AS BIGINT) AS peak_concurrent
     FROM swept GROUP BY d
     """,
 )

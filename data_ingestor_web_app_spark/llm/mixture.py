@@ -38,7 +38,7 @@ _BUDGET = 100_000  # target tokens to allocate across sources
         FROM per
     ),
     tot AS (SELECT SUM(w) AS sw FROM wt)
-    SELECT source, tokens, quality,
+    SELECT source, CAST(tokens AS BIGINT) AS tokens, quality,
            ROUND(w / sw, 6) AS weight,
            CAST(FLOOR(w / sw * {_BUDGET}) AS BIGINT) AS alloc_tokens
     FROM wt, tot

@@ -24,62 +24,17 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_ingestor_web_app_spark.io import table
+from data_ingestor_web_app_spark.llm.vector_common import (
+    SIM_COSINE_TOPK_ORACLE,
+    ORACLE_DOT as _ORACLE_DOT,
+    dot as _dot,
+    hyperplanes as _hyperplanes,
+    norm as _norm,
+)
 from data_ingestor_web_app_spark.registry import query
 
 
-def _dot(a, b):
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-
-
-def _norm(a):
-    return F.sqrt(
-        F.aggregate(
-            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-    )
-
-
-_ORACLE_DOT = """
-    qe AS (SELECT vec_id AS qid, UNNEST(embedding) AS x,
-                  GENERATE_SUBSCRIPTS(embedding, 1) AS i
-           FROM embeddings WHERE vec_id < 20),
-    ae AS (SELECT vec_id AS nid, UNNEST(embedding) AS y,
-                  GENERATE_SUBSCRIPTS(embedding, 1) AS i
-           FROM embeddings),
-    norms AS (SELECT vec_id, SQRT(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm
-              FROM (SELECT vec_id, UNNEST(embedding) AS x FROM embeddings)
-              GROUP BY vec_id),
-    dots AS (SELECT qid, nid, SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot
-             FROM qe JOIN ae USING (i)
-             GROUP BY qid, nid)
-"""
-
-
-@query(
-    "sim_cosine_topk",
-    oracle=f"""
-    WITH {_ORACLE_DOT},
-    cos AS (
-        SELECT d.qid, d.nid,
-               ROUND(d.dot / (nq.nrm * nn.nrm), 6) AS cosine
-        FROM dots d
-        JOIN norms nq ON nq.vec_id = d.qid
-        JOIN norms nn ON nn.vec_id = d.nid
-        WHERE d.qid <> d.nid
-    )
-    SELECT qid, nid, cosine, rk FROM (
-        SELECT qid, nid, cosine,
-               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rk
-        FROM cos) t
-    WHERE rk <= 5
-    """,
-)
+@query("sim_cosine_topk", oracle=SIM_COSINE_TOPK_ORACLE)
 def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 cosine neighbors for each query vector (vec_id < 20), brute
     force: broadcast the (tiny) query side against the full corpus, dot/norm
@@ -144,12 +99,7 @@ def sim_pairwise_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_N_PLANES = 12  # 2^12 buckets; planes are a fixed seeded projection
-
-
-def _hyperplanes(dim: int = 64) -> list[list[float]]:
-    rng = np.random.default_rng(20240813)
-    return rng.standard_normal((_N_PLANES, dim)).tolist()
+_N_PLANES = 12  # 2^12 buckets; planes live in vector_common (shared, no-registration)
 
 
 @query("sim_ann_lsh")  # rows-only: ANN recall is strategy-specific

@@ -59,7 +59,7 @@ def text_tokenize_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
            MIN(n_chars) AS min_chars,
            MAX(n_chars) AS max_chars,
            COUNT(DISTINCT source) AS n_sources,
-           SUM(CASE WHEN LENGTH(text) = n_chars THEN 1 ELSE 0 END) AS n_valid
+           CAST(SUM(CASE WHEN LENGTH(text) = n_chars THEN 1 ELSE 0 END) AS BIGINT) AS n_valid
     FROM documents
     GROUP BY lang
     """,
@@ -129,40 +129,11 @@ def text_filter_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# tiny per-language marker sets for the heuristic scorer (the corpus itself
-# is synthetic word salad — the scorer demonstrates the operator shape)
-_LANG_MARKERS = {
-    "en": ("the", "a", "of", "fast", "slow"),
-    "de": ("der", "die", "und", "schnell", "daten"),
-    "es": ("el", "la", "de", "datos", "rapido"),
-    "fr": ("le", "la", "et", "vite", "donnees"),
-}
+from data_ingestor_web_app_spark.llm.text_common import LANG_MARKERS as _LANG_MARKERS
+from data_ingestor_web_app_spark.llm.text_common import TEXT_LANGID_ORACLE
 
 
-def _marker_sql(lang: str) -> str:
-    return f"CAST(LEN(LIST_FILTER(toks, t -> t IN {_LANG_MARKERS[lang]})) AS DOUBLE) / LEN(toks)"
-
-
-@query(
-    "text_langid",
-    oracle=f"""
-    WITH m AS (SELECT doc_id, lang, STRING_SPLIT(LOWER(text), ' ') AS toks FROM documents),
-    scores AS (
-        SELECT doc_id, lang,
-               {_marker_sql('en')} AS score_en,
-               {_marker_sql('de')} AS score_de,
-               {_marker_sql('es')} AS score_es,
-               {_marker_sql('fr')} AS score_fr
-        FROM m
-    )
-    SELECT doc_id, lang AS labeled_lang, score_en, score_de, score_es, score_fr,
-           CASE WHEN score_en >= GREATEST(score_de, score_es, score_fr) THEN 'en'
-                WHEN score_de >= GREATEST(score_es, score_fr) THEN 'de'
-                WHEN score_es >= score_fr THEN 'es'
-                ELSE 'fr' END AS pred_lang
-    FROM scores
-    """,
-)
+@query("text_langid", oracle=TEXT_LANGID_ORACLE)
 def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language ID: stopword-marker hit-rate per language, argmax
     with a fixed tie order (en>de>es>fr) so prediction is deterministic.

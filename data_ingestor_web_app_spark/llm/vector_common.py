@@ -1,0 +1,79 @@
+"""Shared vector helpers + oracle fragments, with NO query registrations.
+
+Exists so modules can share the JVM-side dot/norm higher-order-function
+builders and the sim_cosine_topk oracle SQL without importing each other:
+importing a query module registers its queries, and registration ORDER is
+load-bearing (the external correctness gate samples the first 50 registered
+queries — see registry._MODULES). Anything imported across query-module
+boundaries lives here instead.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import functions as F
+
+
+def dot(a, b):
+    """JVM-side dot product over two ArrayType columns (no UDF)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a):
+    """JVM-side L2 norm of an ArrayType column."""
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+N_PLANES = 12  # 2^12 LSH buckets; planes are a fixed seeded projection
+
+
+def hyperplanes(dim: int = 64) -> list[list[float]]:
+    rng = np.random.default_rng(20240813)
+    return rng.standard_normal((N_PLANES, dim)).tolist()
+
+
+# Exploded query/corpus embeddings + norms + dots (qid < 20 query side).
+ORACLE_DOT = """
+    qe AS (SELECT vec_id AS qid, UNNEST(embedding) AS x,
+                  GENERATE_SUBSCRIPTS(embedding, 1) AS i
+           FROM embeddings WHERE vec_id < 20),
+    ae AS (SELECT vec_id AS nid, UNNEST(embedding) AS y,
+                  GENERATE_SUBSCRIPTS(embedding, 1) AS i
+           FROM embeddings),
+    norms AS (SELECT vec_id, SQRT(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm
+              FROM (SELECT vec_id, UNNEST(embedding) AS x FROM embeddings)
+              GROUP BY vec_id),
+    dots AS (SELECT qid, nid, SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot
+             FROM qe JOIN ae USING (i)
+             GROUP BY qid, nid)
+"""
+
+# Full oracle for brute-force cosine top-5 — shared by sim_cosine_topk and
+# its Arrow-matmul twin sim_cosine_topk_pandas.
+SIM_COSINE_TOPK_ORACLE = f"""
+    WITH {ORACLE_DOT},
+    cos AS (
+        SELECT d.qid, d.nid,
+               ROUND(d.dot / (nq.nrm * nn.nrm), 6) AS cosine
+        FROM dots d
+        JOIN norms nq ON nq.vec_id = d.qid
+        JOIN norms nn ON nn.vec_id = d.nid
+        WHERE d.qid <> d.nid
+    )
+    SELECT qid, nid, cosine, rk FROM (
+        SELECT qid, nid, cosine,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rk
+        FROM cos) t
+    WHERE rk <= 5
+    """

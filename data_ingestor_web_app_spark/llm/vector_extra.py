@@ -13,7 +13,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_ingestor_web_app_spark.io import table
-from data_ingestor_web_app_spark.llm.similarity import _dot, _hyperplanes, _norm
+from data_ingestor_web_app_spark.llm.vector_common import (
+    SIM_COSINE_TOPK_ORACLE,
+    dot as _dot,
+    hyperplanes as _hyperplanes,
+    norm as _norm,
+)
 from data_ingestor_web_app_spark.registry import query
 
 # Shared oracle fragment: exploded embeddings + label-mean codebook +
@@ -561,10 +566,7 @@ def sim_rerank_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-from data_ingestor_web_app_spark.registry import ORACLES as _ORACLES
-
-
-@query("sim_cosine_topk_pandas", oracle=_ORACLES["sim_cosine_topk"])
+@query("sim_cosine_topk_pandas", oracle=SIM_COSINE_TOPK_ORACLE)
 def sim_cosine_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Arrow-vectorized twin of sim_cosine_topk — SAME oracle, SAME
     answer, different physical strategy: instead of JVM higher-order

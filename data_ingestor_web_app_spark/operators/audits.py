@@ -80,7 +80,7 @@ def agg_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders
     )
     SELECT COUNT(*) AS n_rows,
-           SUM(h) AS checksum_sum,
+           CAST(SUM(h) AS BIGINT) AS checksum_sum,
            CAST(XOR(MIN(h), MAX(h)) AS BIGINT) AS minmax_xor
     FROM rowhash
     """,

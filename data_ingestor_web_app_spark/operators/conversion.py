@@ -12,7 +12,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_ingestor_web_app_spark.io import table
-from data_ingestor_web_app_spark.registry import ORACLES, query
+from data_ingestor_web_app_spark.llm.text_common import TEXT_LANGID_ORACLE
+from data_ingestor_web_app_spark.registry import query
 
 
 @query(
@@ -143,7 +144,7 @@ def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _confusion_oracle() -> str:
     return f"""
-    WITH langid AS ({ORACLES["text_langid"]})
+    WITH langid AS ({TEXT_LANGID_ORACLE})
     SELECT labeled_lang, pred_lang,
            COUNT(*) AS n,
            ROUND(COUNT(*) * 1.0 / SUM(COUNT(*)) OVER (PARTITION BY labeled_lang),

@@ -360,7 +360,7 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
                        ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
     )
-    SELECT event_id, user_id, vi, s, ss,
+    SELECT event_id, user_id, vi, CAST(s AS BIGINT) AS s, CAST(ss AS BIGINT) AS ss,
            (20 * vi - s) * (20 * vi - s) > 9 * (20 * ss - s * s) AS is_anomaly
     FROM w
     WHERE n = 20

@@ -41,7 +41,7 @@ from data_ingestor_web_app_spark.registry import query
             MAX(CASE WHEN variant = 1 THEN conv END) AS conv_b
         FROM per
     )
-    SELECT n_a, conv_a, n_b, conv_b,
+    SELECT n_a, CAST(conv_a AS BIGINT) AS conv_a, n_b, CAST(conv_b AS BIGINT) AS conv_b,
            ROUND(conv_a * 1.0 / n_a, 6) AS cr_a,
            ROUND(conv_b * 1.0 / n_b, 6) AS cr_b,
            ROUND((conv_b * 1.0 / n_b) - (conv_a * 1.0 / n_a), 6) AS abs_lift,

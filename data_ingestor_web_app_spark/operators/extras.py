@@ -312,7 +312,7 @@ def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag,
            BOOL_AND(l_quantity > 0) AS all_positive_qty,
            BOOL_OR(l_discount > 0.09) AS any_deep_discount,
-           SUM(CASE WHEN l_tax = 0 THEN 1 ELSE 0 END) AS n_tax_free
+           CAST(SUM(CASE WHEN l_tax = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_tax_free
     FROM lineitem GROUP BY l_returnflag
     """,
 )

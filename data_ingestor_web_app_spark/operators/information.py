@@ -130,7 +130,7 @@ def agg_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT bucket,
            COUNT(*) AS n_docs,
            MAX(n) AS max_len,
-           SUM(n) AS real_tokens,
+           CAST(SUM(n) AS BIGINT) AS real_tokens,
            COUNT(*) * MAX(n) AS padded_tokens,
            ROUND(SUM(n) * 1.0 / (COUNT(*) * MAX(n)), 6) AS packing_efficiency
     FROM bucketed GROUP BY bucket

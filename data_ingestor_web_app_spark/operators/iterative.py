@@ -47,7 +47,7 @@ _BASE = 15 * _TOTAL // (100 * _N)  # (1-d)/N teleport term, d = 0.85
         SELECT e.dst AS v, {_BASE} + SUM(r2.rank * 85 // 300) AS rank
         FROM edges e JOIN r2 ON r2.v = e.src GROUP BY e.dst
     )
-    SELECT v, rank FROM r3
+    SELECT v, CAST(rank AS BIGINT) AS rank FROM r3
     """,
 )
 def graph_pagerank_unrolled(spark: SparkSession, sf_dir: str) -> DataFrame:

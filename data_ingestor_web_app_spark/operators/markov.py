@@ -119,7 +119,7 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT source,
            COUNT(*) AS n_docs,
-           SUM(n_tokens) AS total_tokens,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
            COUNT(DISTINCT lang) AS n_langs,
            ROUND(SUM((lang = 'en')::INT) * 1.0 / COUNT(*), 6) AS pct_en,
            ROUND(AVG(n_chars), 4) AS avg_chars,

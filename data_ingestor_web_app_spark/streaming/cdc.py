@@ -56,16 +56,24 @@ def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     that makes chunk-order-independent CDC apply legal. Scale shape: each
     micro-batch is one key-equi merge join; under a real table format the
     overwrite becomes a keyed copy-on-write rewrite with partition
-    pruning bounding the rewrite set."""
+    pruning bounding the rewrite set.
+
+    Durability: each micro-batch writes a FRESH versioned snapshot
+    directory and only then advances the current-version pointer — the
+    copy-on-write discipline of every table format. Reading version v
+    while writing v+1 means a lost executor can recompute from intact
+    input; the previous pattern (cache + overwrite the directory being
+    read) silently corrupted the snapshot if cached partitions were
+    evicted mid-overwrite."""
     from data_ingestor_web_app_spark.operators.upsert import _changelog
 
     base = table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
     root = tempfile.mkdtemp(prefix="cdc_stream_")
-    snap_dir = os.path.join(root, "snapshot")
     chg_dir = os.path.join(root, "changelog")
-    base.write.mode("overwrite").parquet(snap_dir)
+    current = {"dir": os.path.join(root, "snapshot_v0")}
+    base.write.mode("overwrite").parquet(current["dir"])
     chg = _changelog(base).withColumn("part", F.pmod("key", F.lit(3)))
     for i in range(3):
         chg.where(F.col("part") == i).drop("part").coalesce(1).write.mode(
@@ -73,8 +81,8 @@ def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).parquet(chg_dir)
     chg_schema = chg.drop("part").schema
 
-    def merge_batch(batch_df, _batch_id):
-        snap = batch_df.sparkSession.read.parquet(snap_dir)
+    def merge_batch(batch_df, batch_id):
+        snap = batch_df.sparkSession.read.parquet(current["dir"])
         b = batch_df
         merged = (
             snap.join(b, snap.o_orderkey == b.key, "full_outer")
@@ -89,9 +97,11 @@ def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             )
         )
-        merged.cache().count()  # materialize BEFORE overwriting the input
-        merged.write.mode("overwrite").parquet(snap_dir)
-        merged.unpersist()
+        # copy-on-write: new version dir, input stays intact during the
+        # write; pointer advances only after the write succeeds
+        next_dir = os.path.join(root, f"snapshot_v{batch_id + 1}")
+        merged.write.mode("overwrite").parquet(next_dir)
+        current["dir"] = next_dir
 
     q = (
         spark.readStream.schema(chg_schema)
@@ -103,7 +113,7 @@ def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    final = spark.read.parquet(snap_dir)
+    final = spark.read.parquet(current["dir"])
     return final.select(
         "o_orderkey",
         "o_orderstatus",

@@ -98,10 +98,41 @@ def test_knn_graph_topk_shape_and_bruteforce_parity(spark):
         )
 
 
-def test_knn_graph_plan_has_no_shuffle(spark):
-    df = QUERIES["sim_knn_graph"](spark, SF_SMALL)
+def test_knn_graph_builds_without_driver_materialization(spark):
+    # the block-pair design must never collect the corpus to the driver —
+    # constructing the plan with toPandas/collect poisoned proves it
+    from pyspark.sql import DataFrame
+    import pytest as _pytest
+
+    orig_topandas, orig_collect = DataFrame.toPandas, DataFrame.collect
+
+    def _boom(self, *a, **k):  # noqa: ANN001
+        raise AssertionError("driver materialization during plan construction")
+
+    DataFrame.toPandas = _boom
+    DataFrame.collect = _boom
+    try:
+        df = QUERIES["sim_knn_graph"](spark, SF_SMALL)
+    finally:
+        DataFrame.toPandas, DataFrame.collect = orig_topandas, orig_collect
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in plan, plan[:2000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+
+
+def test_knn_graph_blocked_multiblock_matches_single_block(spark):
+    # force a real multi-block grid (block_rows=100 over 500 vectors → 5
+    # blocks, 25 pairs) and require bit-identical output to the default
+    from data_ingestor_web_app_spark.llm.corpus_quality import _knn_graph_blocked
+
+    multi = {
+        (r.qid, r.rk): (r.nid, r.cosine)
+        for r in _knn_graph_blocked(spark, SF_SMALL, block_rows=100).collect()
+    }
+    single = {
+        (r.qid, r.rk): (r.nid, r.cosine)
+        for r in _knn_graph_blocked(spark, SF_SMALL, block_rows=1 << 20).collect()
+    }
+    assert multi == single
 
 
 def test_observed_metrics_match_direct_aggregation(spark):
@@ -869,25 +900,49 @@ def test_accumulating_snapshot_one_row_per_order(spark):
         assert r.revenue_micro > 0
 
 
-def test_pareto_skyline_matches_bruteforce_dominance(spark):
-    rows = {r.o_orderpriority: r for r in QUERIES["agg_pareto_skyline"](spark, SF_SMALL).collect()}
-    pts = [
-        (r.o_orderpriority, r.o_totalprice, r.d, r.o_orderkey)
-        for r in table(spark, SF_SMALL, "orders")
-        .select("o_orderpriority", "o_totalprice", F.col("o_orderdate").cast("date").alias("d"), "o_orderkey")
-        .collect()
-    ]
+def _bruteforce_skyline_sizes(spark, sf_dir):
+    """Strict-dominance skyline per priority via vectorized all-pairs —
+    O(n²) in numpy, SF-independent ground truth (no sweep, no window)."""
+    import numpy as np
     from collections import defaultdict
+
+    pts = (
+        table(spark, sf_dir, "orders")
+        .select(
+            "o_orderpriority",
+            "o_totalprice",
+            F.col("o_orderdate").cast("date").alias("d"),
+        )
+        .collect()
+    )
     groups = defaultdict(list)
-    for p in pts:
-        groups[p[0]].append(p)
+    for r in pts:
+        groups[r.o_orderpriority].append((r.o_totalprice, r.d.toordinal()))
+    out = {}
     for prio, g in groups.items():
-        skyline = [
-            a for a in g
-            if not any(b[1] > a[1] and b[2] > a[2] for b in g)
-        ]
-        assert rows[prio].skyline_size == len(skyline), prio
-        assert rows[prio].max_price == round(max(a[1] for a in skyline), 2)
+        price = np.array([p for p, _ in g])
+        day = np.array([d for _, d in g])
+        # dominated[i] iff exists j with price[j] > price[i] AND day[j] > day[i]
+        dominated = (
+            (price[None, :] > price[:, None]) & (day[None, :] > day[:, None])
+        ).any(axis=1)
+        keep_price = price[~dominated]
+        out[prio] = (int((~dominated).sum()), round(float(keep_price.max()), 2))
+    return out
+
+
+def test_pareto_skyline_matches_bruteforce_dominance(spark):
+    # ties on price/date exist from sf0.01 up — the brute force is the
+    # tie-semantics ground truth the sweep must reproduce at EVERY SF
+    for sf_dir in (SF_SMALL, "/root/testdata/sf0.01"):
+        rows = {
+            r.o_orderpriority: r
+            for r in QUERIES["agg_pareto_skyline"](spark, sf_dir).collect()
+        }
+        expect = _bruteforce_skyline_sizes(spark, sf_dir)
+        for prio, (size, max_price) in expect.items():
+            assert rows[prio].skyline_size == size, (sf_dir, prio)
+            assert rows[prio].max_price == max_price, (sf_dir, prio)
 
 
 def test_mad_is_robust_to_an_outlier(spark):

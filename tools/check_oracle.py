@@ -22,21 +22,31 @@ import duckdb
 
 
 def canon(v):
-    """Canonicalize one value for order-insensitive comparison."""
+    """Canonicalize one value for order-insensitive comparison.
+
+    TYPE-STRICT on the numeric class boundary: floats canon to ("f", x),
+    ints to ("i", x), bools to ("b", x) — so a DuckDB TINYINT 1 never
+    equals a Spark DOUBLE 1.0 here, exactly as the driver's value hash
+    treats them (round-2 lesson: fn_math/text_stats passed the old
+    `1 == 1.0` gate but failed the driver)."""
     import numpy as np
     import pandas as pd
 
     if v is None:
         return None
+    if isinstance(v, bool) or isinstance(v, np.bool_):
+        return ("b", bool(v))
     if isinstance(v, float) and math.isnan(v):
         return None
+    if isinstance(v, float):
+        return ("f", v)
     if isinstance(v, (np.floating,)):
         v = float(v)
-        return None if math.isnan(v) else v
+        return None if math.isnan(v) else ("f", v)
+    if isinstance(v, int):
+        return ("i", v)
     if isinstance(v, (np.integer,)):
-        return int(v)
-    if isinstance(v, np.bool_):
-        return bool(v)
+        return ("i", int(v))
     if isinstance(v, pd.Timestamp):
         if pd.isna(v):
             return None
@@ -60,8 +70,13 @@ def frame_to_rows(pdf):
 
 
 def approx_equal(a, b, rtol=1e-6):
-    if isinstance(a, float) and isinstance(b, float):
-        return math.isclose(a, b, rel_tol=rtol, abs_tol=1e-9)
+    if (
+        isinstance(a, tuple) and len(a) == 2 and a[0] in ("f", "i", "b")
+        and isinstance(b, tuple) and len(b) == 2 and b[0] in ("f", "i", "b")
+    ):
+        if a[0] == "f" and b[0] == "f":
+            return math.isclose(a[1], b[1], rel_tol=rtol, abs_tol=1e-9)
+        return a == b
     if isinstance(a, tuple) and isinstance(b, tuple) and len(a) == len(b):
         return all(approx_equal(x, y, rtol) for x, y in zip(a, b))
     return a == b
