@@ -2,14 +2,22 @@
 
 Runs the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
 local[$SPARK_GRAFT_CPUS], timing full materialization (count + collect of a
-bounded head, never a full driver collect). Warm-up pass excluded from
-timing so JVM/codegen startup doesn't pollute per-query numbers.
+bounded head, never a full driver collect).
+
+Protocol (round-3 stabilization): per query, one warm-up at sf0.001
+(codegen cache) then N_REPS=3 timed runs at the bench SF; the reported
+number is the per-query MEDIAN. Round-2's n=1 protocol showed ±40% swings
+on unchanged sub-second queries — medians make deltas attributable to code
+diffs, not scheduler noise. Full detail (all reps, median, min) goes to
+BENCH_LATEST.json; tests/test_bench_guard.py compares it against the
+committed BENCH_BASELINE.json and flags >1.5x per-query regressions.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -129,6 +137,9 @@ def warmup(spark, name: str) -> None:
     df.count()
 
 
+N_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+
+
 def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -136,25 +147,40 @@ def main() -> None:
     run_once(spark, "agg_groupby")
     for name in HEADLINE:
         warmup(spark, name)
-    times: dict[str, float] = {}
-    for name in HEADLINE:
-        times[name] = round(run_once(spark, name), 3)
-    ingest_secs, ingest_rps = bench_ingest(spark)
+    reps: dict[str, list[float]] = {}
+    for rep in range(N_REPS):
+        for name in HEADLINE:
+            reps.setdefault(name, []).append(run_once(spark, name))
+    times = {name: round(statistics.median(r), 3) for name, r in reps.items()}
+    ingest_reps = []
+    for rep in range(N_REPS):
+        ingest_secs, ingest_rps = bench_ingest(spark)
+        ingest_reps.append((ingest_secs, ingest_rps))
+    ingest_secs = statistics.median(s for s, _ in ingest_reps)
+    ingest_rps = max(r for _, r in ingest_reps)
     times["ingest_1m_records"] = round(ingest_secs, 3)
     total = round(sum(times.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "ingest_rows_per_sec": round(ingest_rps),
-                "sf": float(sf),
-            }
-        )
-    )
+    result = {
+        "metric": "headline_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "ingest_rows_per_sec": round(ingest_rps),
+        "sf": float(sf),
+    }
+    detail = {
+        "n_reps": N_REPS,
+        "median": times,
+        "min": {n: round(min(r), 3) for n, r in reps.items()},
+        "reps": {n: [round(x, 3) for x in r] for n, r in reps.items()},
+        "sf": float(sf),
+        "total_median_sec": total,
+    }
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_LATEST.json"), "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
