@@ -154,6 +154,82 @@ def retention_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def compress_aged_partitions(
+    spark: SparkSession, path: str, column: str, cutoff: str, codec: str = "zstd"
+) -> list[str]:
+    """R20 retention util, step 2 — the logrotate ``compress`` analogue
+    (reference/configs/logrotate.conf:3: rotated logs are gzip'd before
+    they age out): rewrite hive-style partition directories
+    ``column=value`` whose value sorts strictly below ``cutoff`` with a
+    heavier codec, swapping the rewritten directory in atomically
+    (write fresh dir → delete old → rename). Content is untouched — only
+    the physical encoding changes — so any read-back oracle must
+    hash-match. Driver does metadata ops only (list/delete/rename); the
+    row data is rewritten by executors, one partition at a time, so at
+    100 TB this is a rolling background maintenance job whose unit of
+    work is one date partition. Returns the compressed partition values."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    compressed = []
+    for status in fs.listStatus(jpath):
+        name = status.getPath().getName()
+        if status.isDirectory() and name.startswith(column + "="):
+            value = name.split("=", 1)[1]
+            if value < cutoff:
+                part_dir = os.path.join(path, name)
+                tmp_dir = os.path.join(path, "." + name + ".zstd_rewrite")
+                (
+                    spark.read.parquet(part_dir)
+                    .write.mode("overwrite")
+                    .option("compression", codec)
+                    .parquet(tmp_dir)
+                )
+                fs.delete(status.getPath(), True)
+                fs.rename(
+                    jvm.org.apache.hadoop.fs.Path(tmp_dir),
+                    jvm.org.apache.hadoop.fs.Path(part_dir),
+                )
+                compressed.append(value)
+    return sorted(compressed)
+
+
+@query(
+    "retention_compress_aged",
+    oracle="""
+    WITH mx AS (SELECT MAX(CAST(ts AS DATE)) AS max_dt FROM events)
+    SELECT STRFTIME(CAST(ts AS DATE), '%Y-%m-%d') AS dt,
+           COUNT(*) AS n_events,
+           CAST(ts AS DATE) < max_dt - 3 AS aged
+    FROM events, mx
+    GROUP BY 1, 3
+    """,
+)
+def retention_compress_aged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R20 complete lifecycle: date-partitioned sink → zstd-compress
+    partitions older than a 4-day hot window → read-back. The per-day
+    counts hash-match the source (content identity through the codec
+    rewrite), and the ``aged`` flag marks exactly the partitions that were
+    rewritten. Physical shrink (zstd < snappy bytes) is asserted in
+    pytest — byte sizes aren't SQL-oracle-able."""
+    import datetime
+
+    e = table(spark, sf_dir, "events")
+    days = e.select(F.date_format("ts", "yyyy-MM-dd").alias("dt"), "event_id", "props")
+    out = os.path.join(tempfile.mkdtemp(prefix="retention_zstd_"), "events")
+    days.write.mode("overwrite").option("compression", "snappy").partitionBy("dt").parquet(out)
+
+    max_dt = days.agg(F.max("dt")).first()[0]  # one scalar to the driver
+    cutoff = (datetime.date.fromisoformat(max_dt) - datetime.timedelta(days=3)).isoformat()
+    compress_aged_partitions(spark, out, "dt", cutoff)
+
+    back = spark.read.parquet(out)
+    return back.groupBy(F.col("dt").cast("string").alias("dt")).agg(
+        F.count("*").alias("n_events"),
+        F.first(F.col("dt").cast("string") < F.lit(cutoff)).alias("aged"),
+    )
+
+
 @query(
     "source_csv_roundtrip",
     oracle="""

@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from data_ingestor_web_app_spark.io import table
 from data_ingestor_web_app_spark.registry import query
 from data_ingestor_web_app_spark.streaming import runtime
 
@@ -58,3 +59,146 @@ def stream_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     final = runtime.run_to_memory(agg, "complete")
     w = Window.partitionBy("win_start").orderBy(F.col("n").desc(), F.col("event_type"))
     return final.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= 2)
+
+
+@query("stream_incremental_minhash_dedup")  # rows-only: xxhash64 LSH has no DuckDB twin
+def stream_incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming near-dup detection — the one LLM-pipeline op a 100 TB
+    ingest runs CONTINUOUSLY: documents arrive in micro-batches, each batch
+    is minhash-banded and joined against the accumulated fingerprint INDEX
+    (band, bucket, doc_id) of everything seen so far plus itself, band
+    collisions are verified with exact Jaccard against the stored token
+    sets, and verified pairs land in an append-only pairs log. The index
+    and token store grow append-only; the snapshot-read inside foreachBatch
+    sees only fully-committed prior batches.
+
+    Equivalence contract (pinned in tests/test_streaming_extra.py): the
+    union of per-batch pair discoveries equals dedup_minhash_lsh's one-shot
+    batch output EXACTLY, regardless of how the feed was chunked — each
+    pair (a, b) is discovered exactly once, in the batch where its later
+    member arrives (cross-batch via the index join, same-batch via the
+    internal self-join).
+
+    Scale shape: per batch, candidate generation is |batch| x collision
+    work, NEVER corpus x corpus — the whole-corpus index is touched only
+    through the (band, bucket) equi-join, which a real deployment backs
+    with a bucketed table so the probe is shuffle-free on the index side.
+    Jaccard verification joins token sets by doc_id (index side bounded by
+    candidate count, not corpus size)."""
+    import os
+    import tempfile
+
+    from data_ingestor_web_app_spark.llm.dedup import (
+        _N_BANDS,
+        _N_HASHES,
+        _minhash_signatures,
+    )
+
+    d = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    root = tempfile.mkdtemp(prefix="stream_lsh_")
+    feed_dir = os.path.join(root, "feed")
+    index_dir = os.path.join(root, "index")
+    toks_dir = os.path.join(root, "toks")
+    pairs_dir = os.path.join(root, "pairs")
+    # 3-chunk replay feed (same discipline as stream_cdc_upsert)
+    for i in range(3):
+        d.where(F.pmod("doc_id", F.lit(3)) == i).coalesce(1).write.mode("append").parquet(feed_dir)
+
+    rows_per_band = _N_HASHES // _N_BANDS
+
+    def band_rows(docs: DataFrame) -> DataFrame:
+        sig = _minhash_signatures(docs)
+        bands = sig.select(
+            "doc_id",
+            *[
+                F.xxhash64(
+                    *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+                ).alias(f"band{b}")
+                for b in range(_N_BANDS)
+            ],
+        )
+        return bands.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(b).alias("band"), F.col(f"band{b}").alias("bucket"))
+                        for b in range(_N_BANDS)
+                    ]
+                )
+            ).alias("bb"),
+        ).select("doc_id", "bb.band", "bb.bucket")
+
+    def verify_pairs(ss, cand: DataFrame, batch_toks: DataFrame) -> DataFrame:
+        all_toks = batch_toks
+        if os.path.exists(toks_dir):
+            all_toks = ss.read.parquet(toks_dir).unionByName(batch_toks)
+        ta = all_toks.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
+        tb = all_toks.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
+        inter = F.size(F.array_intersect("toks_a", "toks_b"))
+        union = F.size("toks_a") + F.size("toks_b") - inter
+        jac = inter / union
+        return (
+            cand.join(ta, "doc_a")
+            .join(tb, "doc_b")
+            .where(jac >= 0.9)
+            .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        )
+
+    def process_batch(batch_df, _batch_id):
+        ss = batch_df.sparkSession
+        batch = batch_df.localCheckpoint(eager=True)  # pin: feed files won't be re-read
+        bb = band_rows(batch).localCheckpoint(eager=True)
+        batch_toks = batch.select(
+            "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
+        ).localCheckpoint(eager=True)
+        # cross-batch: new docs vs the committed index (pair order by id)
+        cands = None
+        if os.path.exists(index_dir):
+            idx = ss.read.parquet(index_dir)
+            cross = (
+                bb.alias("n")
+                .join(
+                    idx.alias("o"),
+                    (F.col("n.band") == F.col("o.band"))
+                    & (F.col("n.bucket") == F.col("o.bucket")),
+                )
+                .select(
+                    F.least("n.doc_id", "o.doc_id").alias("doc_a"),
+                    F.greatest("n.doc_id", "o.doc_id").alias("doc_b"),
+                )
+            )
+            cands = cross
+        # same-batch: internal self-join
+        internal = (
+            bb.alias("a")
+            .join(
+                bb.alias("b"),
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        )
+        cands = internal if cands is None else cands.unionByName(internal)
+        verified = verify_pairs(ss, cands.distinct(), batch_toks)
+        verified.write.mode("append").parquet(pairs_dir)
+        # commit this batch into the index + token store AFTER pair discovery
+        bb.write.mode("append").parquet(index_dir)
+        batch_toks.write.mode("append").parquet(toks_dir)
+
+    q = (
+        spark.readStream.schema(d.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed_dir)
+        .writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(pairs_dir)

@@ -234,6 +234,51 @@ def test_retention_prune_deletes_expired_partitions(spark, sf_small):
     assert back.select(F.min(F.col("dt").cast("string"))).first()[0] >= "2024-01-24"
 
 
+def test_compress_aged_partitions_shrinks_and_preserves_content(spark, sf_small):
+    """logrotate `compress` parity: aged partitions rewritten with zstd are
+    byte-smaller than their snappy originals and row-identical."""
+    import os
+    import tempfile
+
+    from data_ingestor_web_app_spark.io import table as _table
+    from data_ingestor_web_app_spark.operators.scans import compress_aged_partitions
+
+    def _dir_bytes(d):
+        return sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(d)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+
+    e = _table(spark, sf_small, "events")
+    days = e.select(F.date_format("ts", "yyyy-MM-dd").alias("dt"), "event_id", "props")
+    out = os.path.join(tempfile.mkdtemp(prefix="ret_zstd_test_"), "events")
+    days.write.mode("overwrite").option("compression", "snappy").partitionBy("dt").parquet(out)
+
+    cutoff = "2024-01-24"
+    aged_dirs = [p for p in os.listdir(out) if p.startswith("dt=") and p.split("=")[1] < cutoff]
+    before_bytes = {p: _dir_bytes(os.path.join(out, p)) for p in aged_dirs}
+    before_rows = {
+        r["dt"]: r["n"]
+        for r in spark.read.parquet(out).groupBy(F.col("dt").cast("string").alias("dt"))
+        .agg(F.count("*").alias("n")).collect()
+    }
+
+    compressed = compress_aged_partitions(spark, out, "dt", cutoff)
+    assert sorted(compressed) == sorted(p.split("=")[1] for p in aged_dirs)
+
+    after_rows = {
+        r["dt"]: r["n"]
+        for r in spark.read.parquet(out).groupBy(F.col("dt").cast("string").alias("dt"))
+        .agg(F.count("*").alias("n")).collect()
+    }
+    assert after_rows == before_rows  # content identity, every partition
+    for p in aged_dirs:
+        after = _dir_bytes(os.path.join(out, p))
+        assert after < before_bytes[p], (p, before_bytes[p], after)
+
+
 def test_hll_sketch_within_5pct(spark, sf_small):
     rows = {r["event_type"]: r for r in QUERIES["agg_hll_sketch"](spark, sf_small).collect()}
     for et, r in rows.items():

@@ -417,6 +417,23 @@ def test_crypto_roundtrip_every_row_ok(spark):
     assert all(r.ok for r in rows)
 
 
+def test_stream_incremental_minhash_equals_batch_lsh(spark):
+    """Incremental == batch: the 3-chunk streaming replay must discover
+    EXACTLY the one-shot batch LSH pair set, jaccards included."""
+    streamed = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in QUERIES["stream_incremental_minhash_dedup"](spark, SF_SMALL).collect()
+    }
+    batch = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in QUERIES["dedup_minhash_lsh"](spark, SF_SMALL).collect()
+    }
+    assert streamed == batch
+    assert len(streamed) == len(
+        QUERIES["stream_incremental_minhash_dedup"](spark, SF_SMALL).collect()
+    )  # append-only log has no duplicate pair rows
+
+
 def test_stream_windowed_topk_matches_batch(spark):
     rows = QUERIES["stream_windowed_topk"](spark, SF_SMALL).collect()
     assert rows
