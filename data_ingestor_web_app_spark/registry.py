@@ -107,6 +107,8 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.filters",
     "data_ingestor_web_app_spark.operators.aggregates",
     "data_ingestor_web_app_spark.operators.setops",
+    # round-3 additions (after the window block, so slots 1-50 are stable)
+    "data_ingestor_web_app_spark.operators.wave30",
 ]
 
 
