@@ -109,6 +109,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.setops",
     # round-3 additions (after the window block, so slots 1-50 are stable)
     "data_ingestor_web_app_spark.operators.wave30",
+    "data_ingestor_web_app_spark.operators.wave31",
 ]
 
 
