@@ -110,6 +110,7 @@ _MODULES = [
     # round-3 additions (after the window block, so slots 1-50 are stable)
     "data_ingestor_web_app_spark.operators.wave30",
     "data_ingestor_web_app_spark.operators.wave31",
+    "data_ingestor_web_app_spark.operators.wave32",
 ]
 
 
