@@ -72,6 +72,14 @@ HEADLINE = [
     "text_ngram_counts",
     "vq_int8_quantize",
     "pipeline_pack_offsets",
+    # round-3 additions
+    "sim_knn_graph",
+    "agg_session_window_batch",
+    "snapshot_diff",
+    "text_gopher_rules",
+    "agg_rfm_segments",
+    "agg_ks_test",
+    "dedup_semdedup",
 ]
 
 
