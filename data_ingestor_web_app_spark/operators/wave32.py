@@ -174,9 +174,9 @@ def pipeline_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM orders t
     FULL OUTER JOIN src s ON s.key = t.o_orderkey
     WHERE NOT (s.key IS NOT NULL AND t.o_orderkey IS NOT NULL
-               AND s.action = 'delete')          -- WHEN MATCHED AND delete
+               AND s.action = 'delete')       /* WHEN MATCHED AND delete */
       AND NOT (s.key IS NULL AND t.o_orderkey % 1000 = 999)
-                                       -- WHEN NOT MATCHED BY SOURCE + cond
+                                  /* WHEN NOT MATCHED BY SOURCE + cond */
     """,
 )
 def upsert_merge_actions(spark: SparkSession, sf_dir: str) -> DataFrame:
