@@ -112,6 +112,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave31",
     "data_ingestor_web_app_spark.operators.wave32",
     "data_ingestor_web_app_spark.operators.wave33",
+    "data_ingestor_web_app_spark.operators.wave34",
 ]
 
 
