@@ -113,6 +113,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave32",
     "data_ingestor_web_app_spark.operators.wave33",
     "data_ingestor_web_app_spark.operators.wave34",
+    "data_ingestor_web_app_spark.llm.wave35",
 ]
 
 
