@@ -259,3 +259,51 @@ def test_triangle_count_edge_joins_are_equi(spark, sf_small):
     assert ("SortMergeJoin" in p) or ("BroadcastHashJoin" in p) or (
         "ShuffledHashJoin" in p
     ), p[:1500]
+
+
+# --- round-3 plan postures ---
+
+
+def test_knn_graph_is_grouped_pandas_not_nested_loop(spark, sf_small):
+    p = plan(spark, "sim_knn_graph", sf_small)
+    assert "FlatMapGroupsInPandas" in p  # block-pair GEMM kernel
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_interval_overlap_is_equi_join(spark, sf_small):
+    p = plan(spark, "join_interval_overlap", sf_small)
+    assert "BroadcastNestedLoopJoin" not in p  # grid bucketing, not range NLJ
+    assert "CartesianProduct" not in p
+
+
+def test_snapshot_diff_and_merge_have_no_nested_loop(spark, sf_small):
+    for name in ["snapshot_diff", "upsert_merge_actions"]:
+        p = plan(spark, name, sf_small)
+        assert "BroadcastNestedLoopJoin" not in p, name
+        assert "CartesianProduct" not in p, name
+
+
+def test_gopher_rules_is_shuffle_free(spark, sf_small):
+    p = plan(spark, "text_gopher_rules", sf_small)
+    assert "Exchange" not in p  # one scan, pure projection
+
+
+def test_scalar_families_are_shuffle_free(spark, sf_small):
+    for name in ["fn_url_parse", "fn_datetime_extra"]:
+        p = plan(spark, name, sf_small)
+        assert "Exchange" not in p, name
+
+
+def test_ks_and_mw_sweeps_are_bucket_partitioned(spark, sf_small):
+    # the prefix-sum window must partition by the derived bucket — never a
+    # global (empty-partition-spec) window over row data
+    for name in ["agg_ks_test", "agg_mann_whitney"]:
+        p = plan(spark, name, sf_small)
+        assert "windowspecdefinition(__bkt" in p, name
+
+
+def test_rfm_and_correlations_have_no_window_at_all(spark, sf_small):
+    for name in ["agg_rfm_segments", "events_rolling_corr", "events_autocorrelation"]:
+        p = plan(spark, name, sf_small)
+        assert "Window" not in p, name  # boundaries/joins instead of sorts
