@@ -114,6 +114,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave33",
     "data_ingestor_web_app_spark.operators.wave34",
     "data_ingestor_web_app_spark.llm.wave35",
+    "data_ingestor_web_app_spark.operators.wave36",
 ]
 
 
