@@ -37,6 +37,11 @@ PROBES = [
     # replication artifact, not how 16x more real-world keys would behave.
     "events_top_paths", "agg_bitmap_distinct", "agg_equidepth_histogram",
     "dq_expectations",
+    # round 3: per-key-linear shapes (join_asof_forward and
+    # join_interval_overlap are density-quadratic under replication and
+    # excluded for the same reason as attribution)
+    "agg_session_window_batch", "snapshot_diff", "upsert_merge_actions",
+    "agg_ks_test", "agg_rfm_segments", "events_mau_28d_bitmap",
 ]
 
 
