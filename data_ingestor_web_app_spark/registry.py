@@ -118,6 +118,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave37",
     "data_ingestor_web_app_spark.operators.wave38",
     "data_ingestor_web_app_spark.operators.wave39",
+    "data_ingestor_web_app_spark.operators.wave40",
 ]
 
 
