@@ -119,6 +119,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave38",
     "data_ingestor_web_app_spark.operators.wave39",
     "data_ingestor_web_app_spark.operators.wave40",
+    "data_ingestor_web_app_spark.operators.wave41",
 ]
 
 
