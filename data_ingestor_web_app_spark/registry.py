@@ -120,6 +120,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave39",
     "data_ingestor_web_app_spark.operators.wave40",
     "data_ingestor_web_app_spark.operators.wave41",
+    "data_ingestor_web_app_spark.operators.wave42",
 ]
 
 
