@@ -121,6 +121,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave40",
     "data_ingestor_web_app_spark.operators.wave41",
     "data_ingestor_web_app_spark.operators.wave42",
+    "data_ingestor_web_app_spark.operators.wave43",
 ]
 
 
