@@ -122,6 +122,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave41",
     "data_ingestor_web_app_spark.operators.wave42",
     "data_ingestor_web_app_spark.operators.wave43",
+    "data_ingestor_web_app_spark.llm.wave44",
 ]
 
 
