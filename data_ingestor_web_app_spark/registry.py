@@ -125,6 +125,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.llm.wave44",
     "data_ingestor_web_app_spark.streaming.wave45",
     "data_ingestor_web_app_spark.operators.wave46",
+    "data_ingestor_web_app_spark.ingest.wave47",
 ]
 
 
