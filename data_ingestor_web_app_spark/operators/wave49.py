@@ -1,0 +1,193 @@
+"""Wave-49: ingest outage detection, Wald–Wolfowitz runs test,
+zlib-compressibility quality signal. Registered at the back of
+registry._MODULES.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_ingestor_web_app_spark.io import table
+from data_ingestor_web_app_spark.registry import query
+
+
+@query(
+    "events_outage_gaps",
+    oracle="""
+    WITH mins AS (
+        SELECT DISTINCT DATE_TRUNC('minute', ts) AS m FROM events
+    ),
+    nxt AS (
+        SELECT cur.m,
+               MIN(other.m) AS next_m
+        FROM mins cur JOIN mins other ON other.m > cur.m
+        GROUP BY cur.m
+    )
+    SELECT STRFTIME(m, '%Y-%m-%d %H:%M:%S') AS gap_start,
+           STRFTIME(next_m, '%Y-%m-%d %H:%M:%S') AS resume_at,
+           CAST(EPOCH_US(next_m) - EPOCH_US(m) AS BIGINT) // 60000000 AS gap_minutes
+    FROM nxt
+    WHERE EPOCH_US(next_m) - EPOCH_US(m) > 5 * 60000000
+    """,
+)
+def events_outage_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest outage detector: minutes with traffic form the spine; any
+    jump of more than 5 minutes to the next active minute is a reported
+    gap (start, resume, duration) — the monitor that catches a wedged
+    collector (the reference's TCP server going quiet) from the data
+    alone, no health-check dependency.
+
+    Scale shape: the corpus collapses to distinct active minutes first;
+    the successor search is a keyed self-join + min (map-side combined) —
+    no global-order window. At extreme spine sizes the join bands by hour
+    to bound the pair space."""
+    e = table(spark, sf_dir, "events")
+    mins = e.select(F.date_trunc("minute", "ts").alias("m")).distinct()
+    cur = mins.select(F.col("m"))
+    other = mins.select(F.col("m").alias("om"))
+    # band by hour to bound the successor-search pairs (a minute's
+    # successor is almost always within the same or next hour)
+    cur_b = cur.select("m", F.explode(F.array(F.lit(0), F.lit(1))).alias("off")).select(
+        "m", (F.unix_timestamp(F.date_trunc("hour", "m")) / 3600 + F.col("off")).cast("long").alias("hb")
+    )
+    oth_b = other.select(
+        "om", (F.unix_timestamp(F.date_trunc("hour", "om")) / 3600).cast("long").alias("hb")
+    )
+    nxt = (
+        cur_b.join(oth_b, "hb")
+        .where(F.col("om") > F.col("m"))
+        .groupBy("m")
+        .agg(F.min("om").alias("next_m"))
+    )
+    gap_us = F.unix_micros("next_m") - F.unix_micros("m")
+    return nxt.where(gap_us > 5 * 60000000).select(
+        F.date_format("m", "yyyy-MM-dd HH:mm:ss").alias("gap_start"),
+        F.date_format("next_m", "yyyy-MM-dd HH:mm:ss").alias("resume_at"),
+        F.expr(
+            "(unix_micros(next_m) - unix_micros(m)) div 60000000"
+        ).alias("gap_minutes"),
+    )
+
+
+@query(
+    "agg_runs_test",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS d, COUNT(*) AS y FROM events GROUP BY 1
+    ),
+    moves AS (
+        SELECT cur.d, CAST(cur.y > prev.y AS INT) AS up
+        FROM daily cur JOIN daily prev ON prev.d = cur.d - 1
+        WHERE cur.y <> prev.y
+    ),
+    changes AS (
+        SELECT CAST(SUM(CASE WHEN cur.up <> prev.up THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_changes
+        FROM moves cur JOIN moves prev ON prev.d = cur.d - 1
+    ),
+    counts AS (
+        SELECT CAST(SUM(up) AS BIGINT) AS n_plus,
+               CAST(SUM(1 - up) AS BIGINT) AS n_minus
+        FROM moves
+    )
+    SELECT n_plus, n_minus,
+           n_changes + 1 AS n_runs,
+           ROUND(1.0 + 2.0 * n_plus * n_minus / (n_plus + n_minus), 4)
+               AS expected_runs,
+           ROUND((n_changes + 1
+                  - (1.0 + 2.0 * n_plus * n_minus / (n_plus + n_minus)))
+                 / SQRT(GREATEST(1e-12,
+                       (2.0 * n_plus * n_minus
+                        * (2.0 * n_plus * n_minus - n_plus - n_minus))
+                       / ((n_plus + n_minus) * (n_plus + n_minus)
+                          * (n_plus + n_minus - 1)))), 6) AS z_score
+    FROM changes, counts
+    """,
+)
+def agg_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald–Wolfowitz runs test on the daily count series' up/down moves:
+    too FEW runs = trending, too MANY = oscillating — the randomness
+    check that complements the ACF (events_autocorrelation). Moves and
+    run boundaries come from d−1 equi-joins on the tiny daily frame (no
+    ordered window); all counts are exact integers and the z-score is one
+    fixed formula.
+
+    Scale shape: |days| rows after the first rollup; two keyed
+    self-joins; one scalar output row."""
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(F.col("ts").cast("date").alias("d")).agg(F.count("*").alias("y"))
+    prev = daily.select(F.date_add("d", 1).alias("d"), F.col("y").alias("py"))
+    moves = (
+        daily.join(prev, "d")
+        .where(F.col("y") != F.col("py"))
+        .select("d", (F.col("y") > F.col("py")).cast("int").alias("up"))
+    )
+    mprev = moves.select(F.date_add("d", 1).alias("d"), F.col("up").alias("pup"))
+    changes = (
+        moves.join(mprev, "d")
+        .agg(
+            F.sum(F.when(F.col("up") != F.col("pup"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_changes")
+        )
+    )
+    counts = moves.agg(
+        F.sum("up").cast("long").alias("n_plus"),
+        F.sum(1 - F.col("up")).cast("long").alias("n_minus"),
+    )
+    j = changes.crossJoin(counts)
+    np_, nm = F.col("n_plus"), F.col("n_minus")
+    runs = F.col("n_changes") + 1
+    exp_runs = 1.0 + 2.0 * np_ * nm / (np_ + nm)
+    var_runs = (2.0 * np_ * nm * (2.0 * np_ * nm - np_ - nm)) / (
+        (np_ + nm) * (np_ + nm) * (np_ + nm - 1)
+    )
+    return j.select(
+        "n_plus",
+        "n_minus",
+        runs.alias("n_runs"),
+        F.round(exp_runs, 4).alias("expected_runs"),
+        F.round((runs - exp_runs) / F.sqrt(F.greatest(F.lit(1e-12), var_runs)), 6).alias(
+            "z_score"
+        ),
+    )
+
+
+@query("text_compression_quality")  # rows-only: zlib byte counts have no SQL twin
+def text_compression_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib-compressibility quality signal (Dolma/RefinedWeb-style,
+    public): ratio = deflate(text) / len(text) per document — highly
+    compressible text (< ~0.3) is boilerplate/repetition, near-1.0 is
+    random garble; natural prose sits between. Computed in Arrow batches
+    with the stdlib codec (deterministic for fixed level, but a C-library
+    byte count, not SQL-expressible — hence rows-only, with the
+    repetition/monotonicity contract pinned in pytest).
+
+    Scale shape: mapInPandas projection; 3 scalars per doc leave Python."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def compress_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import zlib
+
+        for pdf in batches:
+            raw = pdf["text"].str.encode("utf-8")
+            comp = raw.map(lambda b: len(zlib.compress(b, 6)))
+            n = raw.map(len)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": n,
+                    "compressed_bytes": comp,
+                    "compression_ratio": (comp / n).round(6),
+                }
+            )
+
+    return d.mapInPandas(
+        compress_batches,
+        schema="doc_id long, n_bytes long, compressed_bytes long, compression_ratio double",
+    )
