@@ -128,6 +128,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.ingest.wave47",
     "data_ingestor_web_app_spark.streaming.wave48",
     "data_ingestor_web_app_spark.operators.wave49",
+    "data_ingestor_web_app_spark.operators.wave50",
 ]
 
 
