@@ -129,6 +129,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.streaming.wave48",
     "data_ingestor_web_app_spark.operators.wave49",
     "data_ingestor_web_app_spark.operators.wave50",
+    "data_ingestor_web_app_spark.streaming.wave51",
 ]
 
 

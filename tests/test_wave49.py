@@ -48,3 +48,17 @@ def test_outage_gaps_are_real_gaps(spark):
         end = dt.datetime.strptime(g.resume_at, "%Y-%m-%d %H:%M:%S")
         inside = [m for m in mins if start < m < end]
         assert not inside, (g, inside[:3])
+
+
+def test_update_mode_emits_deltas_not_snapshots(spark):
+    """The update-mode changelog must contain MORE rows than distinct keys
+    (multiple emissions across the 4-batch replay)."""
+    from data_ingestor_web_app_spark.streaming import runtime
+    import pyspark.sql.functions as FF
+
+    s = runtime.events_stream(spark, SF_SMALL)
+    agg = s.groupBy("event_type").agg(FF.count("*").alias("n_events"))
+    changelog = runtime.run_to_memory(agg, "update")
+    rows = changelog.collect()
+    keys = {r.event_type for r in rows}
+    assert len(rows) > len(keys)  # deltas, not one snapshot
