@@ -21,13 +21,13 @@ from data_ingestor_web_app_spark.registry import query
     oracle="""
     WITH hourly AS (
         SELECT DATE_TRUNC('hour', ts) AS h,
-               CAST(SUM((value > 450)::INT) AS BIGINT) AS n_bad,
+               CAST(SUM((value > 100)::INT) AS BIGINT) AS n_bad,
                COUNT(*) AS n
         FROM events GROUP BY 1
     ),
     breaches AS (
         SELECT CAST(EPOCH_US(h) / 3600000000 AS BIGINT) AS hidx, h
-        FROM hourly WHERE n_bad * 1.0 / n > 0.02
+        FROM hourly WHERE n_bad * 1.0 / n > 0.1
     ),
     grouped AS (
         SELECT h, hidx,
@@ -53,10 +53,10 @@ def events_alert_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows."""
     e = table(spark, sf_dir, "events")
     hourly = e.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
-        F.sum((F.col("value") > 450).cast("int")).cast("long").alias("n_bad"),
+        F.sum((F.col("value") > 100).cast("int")).cast("long").alias("n_bad"),
         F.count("*").alias("n"),
     )
-    breaches = hourly.where(F.col("n_bad") * 1.0 / F.col("n") > 0.02).select(
+    breaches = hourly.where(F.col("n_bad") * 1.0 / F.col("n") > 0.1).select(
         "h",
         (F.unix_micros("h") / 3600000000).cast("long").alias("hidx"),
         F.lit(1).alias("one"),
