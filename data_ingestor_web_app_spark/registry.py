@@ -131,6 +131,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave50",
     "data_ingestor_web_app_spark.streaming.wave51",
     "data_ingestor_web_app_spark.operators.wave52",
+    "data_ingestor_web_app_spark.operators.wave53",
 ]
 
 

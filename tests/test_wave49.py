@@ -62,3 +62,19 @@ def test_update_mode_emits_deltas_not_snapshots(spark):
     rows = changelog.collect()
     keys = {r.event_type for r in rows}
     assert len(rows) > len(keys)  # deltas, not one snapshot
+
+
+def test_walk_forward_splits_respect_time_order(spark):
+    """Per fold: the train window must end strictly before the test
+    window starts — the temporal-integrity invariant of walk-forward CV."""
+    from data_ingestor_web_app_spark.io import table
+
+    rows = {(r.fold, r.role): r for r in
+            QUERIES["pipeline_walk_forward_splits"](spark, SF_SMALL).collect()}
+    e = table(spark, SF_SMALL, "events")
+    d0 = e.agg(F.min(F.col("ts").cast("date"))).first()[0]
+    for fold in (1, 2, 3, 4):
+        assert (fold, "train") in rows and (fold, "test") in rows
+        # train grows with fold (expanding window)
+        if fold > 1:
+            assert rows[(fold, "train")].n_events > rows[(fold - 1, "train")].n_events
