@@ -132,6 +132,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.streaming.wave51",
     "data_ingestor_web_app_spark.operators.wave52",
     "data_ingestor_web_app_spark.operators.wave53",
+    "data_ingestor_web_app_spark.operators.wave54",
 ]
 
 
