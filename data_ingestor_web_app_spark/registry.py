@@ -135,6 +135,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave54",
     "data_ingestor_web_app_spark.operators.wave55",
     "data_ingestor_web_app_spark.operators.wave56",
+    "data_ingestor_web_app_spark.operators.wave57",
 ]
 
 
