@@ -136,6 +136,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave55",
     "data_ingestor_web_app_spark.operators.wave56",
     "data_ingestor_web_app_spark.operators.wave57",
+    "data_ingestor_web_app_spark.operators.wave58",
 ]
 
 
