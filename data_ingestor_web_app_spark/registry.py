@@ -137,6 +137,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave56",
     "data_ingestor_web_app_spark.operators.wave57",
     "data_ingestor_web_app_spark.operators.wave58",
+    "data_ingestor_web_app_spark.operators.wave59",
 ]
 
 
