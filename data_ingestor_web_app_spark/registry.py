@@ -139,6 +139,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave58",
     "data_ingestor_web_app_spark.operators.wave59",
     "data_ingestor_web_app_spark.operators.wave60",
+    "data_ingestor_web_app_spark.operators.wave61",
 ]
 
 
