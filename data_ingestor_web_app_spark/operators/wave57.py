@@ -252,51 +252,48 @@ def pipeline_consistent_hash_router(spark: SparkSession, sf_dir: str) -> DataFra
     distances (md5 ring points never collide in the fixture, so the
     argmin is total).
 
-    Scale shape: both rings are 128/160-point broadcast literals; the
-    per-doc owner is a broadcast nested-loop over the tiny ring followed
-    by a map-side-combinable argmin per doc — the corpus itself never
-    shuffles (the final count is a global agg of partials)."""
+    Scale shape: each ring is a 128/160-entry SORTED LITERAL ARRAY baked
+    into the projection (the ring points are pure md5 arithmetic, so the
+    driver derives them without touching data); ownership is a binary-
+    search-shaped `filter + element_at` over that array — the corpus is
+    assigned in a single zero-shuffle projection and only the final
+    global aggregate exchanges partials (plan-pinned in
+    tests/test_scale_plans.py)."""
+    import hashlib
+
     d = table(spark, sf_dir, "documents").select("doc_id")
     h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
         "long"
     )
     docs = d.select("doc_id", h.alias("h"))
 
-    def ring(n_shards: int) -> DataFrame:
-        pts = spark.range(n_shards * 8).select(
-            (F.col("id") % n_shards).cast("int").alias("shard"),
-            F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat(
-                            F.lit("shard"),
-                            (F.col("id") % n_shards).cast("string"),
-                            F.lit(":v"),
-                            F.floor(F.col("id") / n_shards).cast("int").cast("string"),
-                        )
-                    ),
-                    1,
-                    8,
-                ),
-                16,
-                10,
+    def ring_owner(n_shards: int):
+        """Column: owning shard = first ring point clockwise of h (wrap
+        to the smallest point). Ring literals mirror Spark's md5."""
+        pts = sorted(
+            (
+                int(hashlib.md5(f"shard{s}:v{v}".encode()).hexdigest()[:8], 16),
+                s,
             )
-            .cast("long")
-            .alias("pt"),
+            for s in range(n_shards)
+            for v in range(8)
         )
-        return pts
-
-    def assign(ring_df: DataFrame, out: str) -> DataFrame:
-        dist = (F.col("pt") - F.col("h") + F.lit(4294967296)) % F.lit(4294967296)
-        return (
-            docs.crossJoin(F.broadcast(ring_df))
-            .groupBy("doc_id")
-            .agg(F.min_by("shard", dist).alias(out))
+        ring = F.array(
+            *[
+                F.struct(F.lit(pt).alias("pt"), F.lit(s).alias("shard"))
+                for pt, s in pts
+            ]
+        )
+        succ = F.filter(ring, lambda x: x["pt"] >= F.col("h"))
+        return F.coalesce(
+            F.try_element_at(succ, F.lit(1))["shard"], F.lit(pts[0][1])
         )
 
-    j = (
-        docs.join(assign(ring(16), "shard16"), "doc_id")
-        .join(assign(ring(20), "shard20"), "doc_id")
+    j = docs.select(
+        "doc_id",
+        "h",
+        ring_owner(16).alias("shard16"),
+        ring_owner(20).alias("shard20"),
     )
     moved_mod = F.when(F.col("h") % 16 != F.col("h") % 20, 1).otherwise(0)
     moved_ring = F.when(F.col("shard16") != F.col("shard20"), 1).otherwise(0)

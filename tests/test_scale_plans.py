@@ -307,3 +307,21 @@ def test_rfm_and_correlations_have_no_window_at_all(spark, sf_small):
     for name in ["agg_rfm_segments", "events_rolling_corr", "events_autocorrelation"]:
         p = plan(spark, name, sf_small)
         assert "Window" not in p, name  # boundaries/joins instead of sorts
+
+
+def test_consistent_hash_router_assigns_without_shuffling_corpus(spark, sf_small):
+    """Ownership is a literal-array lookup in the projection: the only
+    exchange in the whole plan is the final single-partition aggregate."""
+    p = plan(spark, "pipeline_consistent_hash_router", sf_small)
+    import re
+
+    exchanges = re.findall(r"Exchange \w+", p)
+    assert all("SinglePartition" in e or "Exchange Single" in e for e in exchanges) or len(exchanges) <= 1, exchanges
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+
+
+def test_heavy_hitters_recount_is_semi_join(spark, sf_small):
+    """The exact recount must touch only MG candidates (left_semi), never
+    a full-cardinality groupBy of the gram stream."""
+    p = plan(spark, "agg_heavy_hitters_mg", sf_small)
+    assert "LeftSemi" in p
