@@ -140,6 +140,8 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave59",
     "data_ingestor_web_app_spark.operators.wave60",
     "data_ingestor_web_app_spark.operators.wave61",
+    "data_ingestor_web_app_spark.streaming.wave62",
+    "data_ingestor_web_app_spark.llm.wave62b",
 ]
 
 
