@@ -143,6 +143,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.streaming.wave62",
     "data_ingestor_web_app_spark.llm.wave62b",
     "data_ingestor_web_app_spark.llm.wave63",
+    "data_ingestor_web_app_spark.operators.wave64",
 ]
 
 
