@@ -144,6 +144,8 @@ _MODULES = [
     "data_ingestor_web_app_spark.llm.wave62b",
     "data_ingestor_web_app_spark.llm.wave63",
     "data_ingestor_web_app_spark.operators.wave64",
+    "data_ingestor_web_app_spark.streaming.wave65",
+    "data_ingestor_web_app_spark.operators.wave65b",
 ]
 
 
