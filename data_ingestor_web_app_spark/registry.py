@@ -147,6 +147,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.streaming.wave65",
     "data_ingestor_web_app_spark.operators.wave65b",
     "data_ingestor_web_app_spark.operators.wave66",
+    "data_ingestor_web_app_spark.operators.wave67",
 ]
 
 
