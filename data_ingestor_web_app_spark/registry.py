@@ -148,6 +148,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave65b",
     "data_ingestor_web_app_spark.operators.wave66",
     "data_ingestor_web_app_spark.operators.wave67",
+    "data_ingestor_web_app_spark.operators.wave68",
 ]
 
 
