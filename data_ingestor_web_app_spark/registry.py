@@ -149,6 +149,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave66",
     "data_ingestor_web_app_spark.operators.wave67",
     "data_ingestor_web_app_spark.operators.wave68",
+    "data_ingestor_web_app_spark.operators.wave69",
 ]
 
 
