@@ -150,6 +150,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave67",
     "data_ingestor_web_app_spark.operators.wave68",
     "data_ingestor_web_app_spark.operators.wave69",
+    "data_ingestor_web_app_spark.operators.wave70",
 ]
 
 
