@@ -154,6 +154,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.llm.wave71",
     "data_ingestor_web_app_spark.operators.wave72",
     "data_ingestor_web_app_spark.operators.wave73",
+    "data_ingestor_web_app_spark.operators.wave74",
 ]
 
 
