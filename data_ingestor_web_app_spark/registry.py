@@ -156,6 +156,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave73",
     "data_ingestor_web_app_spark.operators.wave74",
     "data_ingestor_web_app_spark.llm.wave75",
+    "data_ingestor_web_app_spark.operators.wave76",
 ]
 
 
