@@ -157,6 +157,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave74",
     "data_ingestor_web_app_spark.llm.wave75",
     "data_ingestor_web_app_spark.operators.wave76",
+    "data_ingestor_web_app_spark.operators.wave77",
 ]
 
 
