@@ -158,6 +158,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.llm.wave75",
     "data_ingestor_web_app_spark.operators.wave76",
     "data_ingestor_web_app_spark.operators.wave77",
+    "data_ingestor_web_app_spark.operators.wave78",
 ]
 
 
