@@ -159,6 +159,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave76",
     "data_ingestor_web_app_spark.operators.wave77",
     "data_ingestor_web_app_spark.operators.wave78",
+    "data_ingestor_web_app_spark.operators.wave79",
 ]
 
 
