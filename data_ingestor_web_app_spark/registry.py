@@ -160,6 +160,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave77",
     "data_ingestor_web_app_spark.operators.wave78",
     "data_ingestor_web_app_spark.operators.wave79",
+    "data_ingestor_web_app_spark.operators.wave80",
 ]
 
 
