@@ -35,7 +35,7 @@ def test_randomized_response_estimator_close(spark):
     r = QUERIES["privacy_randomized_response"](spark, SF_SMALL).first()
     # the estimator is unbiased; with a fair hash coin the error at n
     # respondents is O(1/sqrt(n))
-    assert abs(r.estimated_rate - r.true_rate) == r.abs_error
+    assert abs(abs(r.estimated_rate - r.true_rate) - r.abs_error) < 2e-6
     assert r.abs_error < 4.0 / (r.n ** 0.5)
     # reported rate is pushed toward 1/2 relative to truth by the noise arm
     assert abs(r.reported_rate - (0.5 * r.true_rate + 0.25)) < 4.0 / (r.n ** 0.5)
