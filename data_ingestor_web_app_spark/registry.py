@@ -165,6 +165,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave82",
     "data_ingestor_web_app_spark.operators.wave83",
     "data_ingestor_web_app_spark.operators.wave84",
+    "data_ingestor_web_app_spark.operators.wave85",
 ]
 
 
