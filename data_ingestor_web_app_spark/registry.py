@@ -166,6 +166,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave83",
     "data_ingestor_web_app_spark.operators.wave84",
     "data_ingestor_web_app_spark.operators.wave85",
+    "data_ingestor_web_app_spark.operators.wave86",
 ]
 
 
