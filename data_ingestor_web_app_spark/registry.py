@@ -168,6 +168,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave85",
     "data_ingestor_web_app_spark.operators.wave86",
     "data_ingestor_web_app_spark.operators.wave87",
+    "data_ingestor_web_app_spark.operators.wave88",
 ]
 
 
