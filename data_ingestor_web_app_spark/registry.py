@@ -169,6 +169,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave86",
     "data_ingestor_web_app_spark.operators.wave87",
     "data_ingestor_web_app_spark.operators.wave88",
+    "data_ingestor_web_app_spark.operators.wave89",
 ]
 
 
