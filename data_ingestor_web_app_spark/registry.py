@@ -172,6 +172,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave89",
     "data_ingestor_web_app_spark.operators.wave90",
     "data_ingestor_web_app_spark.operators.wave91",
+    "data_ingestor_web_app_spark.operators.wave92",
 ]
 
 
