@@ -173,6 +173,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave90",
     "data_ingestor_web_app_spark.operators.wave91",
     "data_ingestor_web_app_spark.operators.wave92",
+    "data_ingestor_web_app_spark.operators.wave93",
 ]
 
 
