@@ -174,6 +174,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave91",
     "data_ingestor_web_app_spark.operators.wave92",
     "data_ingestor_web_app_spark.operators.wave93",
+    "data_ingestor_web_app_spark.operators.wave94",
 ]
 
 
