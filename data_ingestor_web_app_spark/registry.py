@@ -175,6 +175,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave92",
     "data_ingestor_web_app_spark.operators.wave93",
     "data_ingestor_web_app_spark.operators.wave94",
+    "data_ingestor_web_app_spark.operators.wave95",
 ]
 
 
