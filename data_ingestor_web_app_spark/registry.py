@@ -176,6 +176,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave93",
     "data_ingestor_web_app_spark.operators.wave94",
     "data_ingestor_web_app_spark.operators.wave95",
+    "data_ingestor_web_app_spark.operators.wave96",
 ]
 
 
