@@ -122,12 +122,11 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql.window import Window
 
+    # heap top-k (TakeOrderedAndProject), then rank only the 15 survivors —
+    # never a global-order window over the full scored set
+    top = scored.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(15)
     w = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= 15)
-        .select("doc_id", "bm25", "rk")
-    )
+    return top.withColumn("rk", F.row_number().over(w)).select("doc_id", "bm25", "rk")
 
 
 @query(

@@ -138,16 +138,14 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("score_scaled").alias("score_scaled"),
         F.count("*").cast("long").alias("n_occurrences"),
     )
+    # heap top-k first; the ranking window then runs over 20 rows only
+    top = dedup.orderBy(F.desc("score_scaled"), F.asc("phrase")).limit(20)
     w = Window.orderBy(F.desc("score_scaled"), F.asc("phrase"))
-    return (
-        dedup.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= 20)
-        .select(
-            "phrase",
-            F.round(F.col("score_scaled") / 1000000.0, 4).alias("rake_score"),
-            "n_occurrences",
-            "rk",
-        )
+    return top.withColumn("rk", F.row_number().over(w)).select(
+        "phrase",
+        F.round(F.col("score_scaled") / 1000000.0, 4).alias("rake_score"),
+        "n_occurrences",
+        "rk",
     )
 
 

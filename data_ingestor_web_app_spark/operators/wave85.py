@@ -87,11 +87,11 @@ def model_item_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cosine"),
         )
     )
+    # heap top-k first; the ranking window then runs over 50 rows only
+    top = scored.orderBy(F.desc("cosine"), F.asc("pa"), F.asc("pb")).limit(50)
     w = Window.orderBy(F.desc("cosine"), F.asc("pa"), F.asc("pb"))
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= 50)
-        .select("pa", "pb", "nab", "cosine", "rk")
+    return top.withColumn("rk", F.row_number().over(w)).select(
+        "pa", "pb", "nab", "cosine", "rk"
     )
 
 

@@ -206,9 +206,9 @@ def text_boilerplate_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_docs") >= 2)
     )
+    # heap top-k first; the ranking window then runs over 15 rows only
+    top = tpl.orderBy(F.desc("n_docs"), F.asc("prefix")).limit(15)
     w = Window.orderBy(F.desc("n_docs"), F.asc("prefix"))
-    return (
-        tpl.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= 15)
-        .select("prefix", "n_docs", "first_doc", "rk")
+    return top.withColumn("rk", F.row_number().over(w)).select(
+        "prefix", "n_docs", "first_doc", "rk"
     )
