@@ -178,6 +178,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave95",
     "data_ingestor_web_app_spark.operators.wave96",
     "data_ingestor_web_app_spark.operators.wave97",
+    "data_ingestor_web_app_spark.operators.wave98",
 ]
 
 
