@@ -181,6 +181,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave98",
     "data_ingestor_web_app_spark.operators.wave99",
     "data_ingestor_web_app_spark.operators.wave100",
+    "data_ingestor_web_app_spark.operators.wave101",
 ]
 
 
