@@ -183,6 +183,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave100",
     "data_ingestor_web_app_spark.operators.wave101",
     "data_ingestor_web_app_spark.operators.wave102",
+    "data_ingestor_web_app_spark.operators.wave103",
 ]
 
 
