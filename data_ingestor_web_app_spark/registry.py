@@ -184,6 +184,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave101",
     "data_ingestor_web_app_spark.operators.wave102",
     "data_ingestor_web_app_spark.operators.wave103",
+    "data_ingestor_web_app_spark.operators.wave104",
 ]
 
 
