@@ -188,6 +188,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave105",
     "data_ingestor_web_app_spark.operators.wave106",
     "data_ingestor_web_app_spark.operators.wave107",
+    "data_ingestor_web_app_spark.operators.wave108",
 ]
 
 
