@@ -189,6 +189,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave106",
     "data_ingestor_web_app_spark.operators.wave107",
     "data_ingestor_web_app_spark.operators.wave108",
+    "data_ingestor_web_app_spark.operators.wave109",
 ]
 
 
