@@ -192,6 +192,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave109",
     "data_ingestor_web_app_spark.operators.wave110",
     "data_ingestor_web_app_spark.operators.wave111",
+    "data_ingestor_web_app_spark.operators.wave112",
 ]
 
 
