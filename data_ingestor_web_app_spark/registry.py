@@ -194,6 +194,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave111",
     "data_ingestor_web_app_spark.operators.wave112",
     "data_ingestor_web_app_spark.operators.wave113",
+    "data_ingestor_web_app_spark.operators.wave114",
 ]
 
 
