@@ -197,6 +197,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave114",
     "data_ingestor_web_app_spark.operators.wave115",
     "data_ingestor_web_app_spark.operators.wave116",
+    "data_ingestor_web_app_spark.operators.wave117",
 ]
 
 
