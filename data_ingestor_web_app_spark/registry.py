@@ -201,6 +201,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave118",
     "data_ingestor_web_app_spark.operators.wave119",
     "data_ingestor_web_app_spark.operators.wave120",
+    "data_ingestor_web_app_spark.operators.wave121",
 ]
 
 
