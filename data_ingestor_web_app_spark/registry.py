@@ -202,6 +202,8 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave119",
     "data_ingestor_web_app_spark.operators.wave120",
     "data_ingestor_web_app_spark.operators.wave121",
+    "data_ingestor_web_app_spark.operators.wave122",
+    "data_ingestor_web_app_spark.streaming.wave122",
 ]
 
 
