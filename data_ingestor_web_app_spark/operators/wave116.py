@@ -37,15 +37,16 @@ from data_ingestor_web_app_spark.registry import query
         WINDOW w AS (PARTITION BY event_type ORDER BY day)
     ),
     rsi AS (
-        SELECT event_type,
+        SELECT event_type, g, l,
                100.0 * g / NULLIF(g + l, 0) AS r
         FROM gl WHERE rn >= 14
     )
     SELECT event_type,
            CAST(COUNT(*) AS BIGINT) AS n_windows,
-           CAST(SUM(CASE WHEN r > 70 THEN 1 ELSE 0 END) AS BIGINT)
+           CAST(SUM(CASE WHEN 10 * g > 7 * (g + l) THEN 1 ELSE 0 END) AS BIGINT)
                AS n_overbought,
-           CAST(SUM(CASE WHEN r < 30 THEN 1 ELSE 0 END) AS BIGINT)
+           CAST(SUM(CASE WHEN g + l > 0 AND 10 * g < 3 * (g + l)
+                    THEN 1 ELSE 0 END) AS BIGINT)
                AS n_oversold,
            ROUND(MIN(r), 4) AS min_rsi,
            ROUND(MAX(r), 4) AS max_rsi
@@ -88,15 +89,25 @@ def events_rsi_cutler(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("d") < 0, -F.col("d")).otherwise(0)).over(wf).alias("l"),
     ).where(F.col("rn") >= 14)
     r = 100.0 * F.col("g") / F.nullif(F.col("g") + F.col("l"), F.lit(0))
+    # Band membership compares the rational 10*g vs 7|3*(g+l) in exact
+    # BIGINTs (r > 70 ⇔ 10g > 7(g+l)); only min/max RSI touch the float r.
     return (
-        gl.select("event_type", r.alias("r"))
+        gl.select("event_type", "g", "l", r.alias("r"))
         .groupBy("event_type")
         .agg(
             F.count("*").cast("long").alias("n_windows"),
-            F.sum(F.when(F.col("r") > 70, 1).otherwise(0))
+            F.sum(
+                F.when(10 * F.col("g") > 7 * (F.col("g") + F.col("l")), 1).otherwise(0)
+            )
             .cast("long")
             .alias("n_overbought"),
-            F.sum(F.when(F.col("r") < 30, 1).otherwise(0))
+            F.sum(
+                F.when(
+                    (F.col("g") + F.col("l") > 0)
+                    & (10 * F.col("g") < 3 * (F.col("g") + F.col("l"))),
+                    1,
+                ).otherwise(0)
+            )
             .cast("long")
             .alias("n_oversold"),
             F.round(F.min("r"), 4).alias("min_rsi"),

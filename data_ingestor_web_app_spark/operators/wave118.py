@@ -133,15 +133,23 @@ def events_sample_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("amatch"),
         )
     )
-    return pairs.groupBy().agg(
-        F.max("n").alias("n_days"),
-        F.round(F.max("r"), 6).alias("tolerance_r"),
+    # n_days / tolerance_r come from the tol frame, not max() over pairs:
+    # with < 3 daily rows `pairs` is empty and an agg-side max would yield
+    # NULL while the oracle's scalar subquery still reads tol — crossJoin
+    # keeps the two engines identical on degenerate input.
+    agg = pairs.groupBy().agg(
         F.sum("bmatch").cast("long").alias("b_matches"),
         F.sum("amatch").cast("long").alias("a_matches"),
+    )
+    return agg.crossJoin(F.broadcast(tol)).select(
+        F.col("n").alias("n_days"),
+        F.round(F.col("r"), 6).alias("tolerance_r"),
+        "b_matches",
+        "a_matches",
         F.round(
             F.when(
-                F.sum("amatch") > 0,
-                -F.log(F.sum("amatch").cast("double") / F.sum("bmatch")),
+                F.col("a_matches") > 0,
+                -F.log(F.col("a_matches").cast("double") / F.col("b_matches")),
             ),
             6,
         ).alias("sampen"),

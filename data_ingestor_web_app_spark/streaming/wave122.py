@@ -24,10 +24,12 @@ def stream_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
     custom stateful operator: per event type, applyInPandasWithState
     carries exactly the detector's textbook memory — running count, sum,
     cumulative deviation U from the running floor-mean, its running
-    minimum, alarm count and peak deviation — across micro-batches, in
-    the same integer-milli arithmetic as the batch twin
-    events_page_hinkley. This is the detector a 100 TB ingest actually
-    runs continuously: O(1) state per key, alarms the moment
+    minimum, alarm count and peak deviation — across micro-batches. The
+    batch twin events_page_hinkley runs the same detector *recurrence*
+    but over a different input series (daily event counts vs per-event
+    milli-values) with a data-derived lambda, so the two are recurrence
+    twins, not output-comparable. This is the detector a 100 TB ingest
+    actually runs continuously: O(1) state per key, alarms the moment
     U - min(U) exceeds lambda.
 
     Within-batch rows are sorted by (ts, event_id) so the replay order is
@@ -47,8 +49,14 @@ def stream_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
         n, cum, u, run_min, max_dev, n_alarms, seq = (
             state.get if state.exists else (0, 0, 0, 0, 0, 0, 0)
         )
-        for pdf in pdf_iter:
-            pdf = pdf.sort_values(["ts", "event_id"])
+        # Buffer the whole key-batch before sorting: a key's rows can span
+        # multiple Arrow chunks (arrow.maxRecordsPerBatch), and sorting each
+        # chunk independently would break the total (ts, event_id) replay
+        # order. Detector state is O(1); the one-batch buffer is bounded by
+        # the micro-batch size, which is the operator's admission unit anyway.
+        chunks = list(pdf_iter)
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(["ts", "event_id"])
             for x in pdf["x"]:
                 n += 1
                 cum += int(x)
