@@ -71,6 +71,7 @@ def events_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     natural entity key, and a hot user (skewed key) bounds one task's
     work by that user's event count only — the same bound the reference's
     per-connection goroutine has (main.go worker pool)."""
+    import numpy as np
     import pandas as pd
 
     e = table(spark, sf_dir, "events").select(
@@ -78,20 +79,46 @@ def events_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        # Vectorized scan. Two invariants make the recurrence segmentable:
+        # (1) tokens_after ∈ [0, _COST] after every step (admit subtracts
+        #     _COST from m ≤ _CAP = 2*_COST; reject leaves m < _COST), and
+        # (2) with bucket a ∈ [0, _COST) and per-step refill r ≤ _COST the
+        #     cap clamp can never bind (a + r < _CAP).
+        # So between "boundary" steps (refill > _COST, or bucket ≥ _COST,
+        # which only holds at the start and immediately after a full refill)
+        # the fold is the unclamped prefix sum S_i = a0 + Σr, with
+        # admits-so-far k_i = S_i // _COST (each step admits ≤ once because
+        # r ≤ _COST) and tokens_after_i = S_i - _COST*k_i. Boundary steps
+        # are peeled scalar; everything else is one cumsum per segment.
         pdf = pdf.sort_values(["ts_ms", "event_id"]).reset_index(drop=True)
-        tokens, last_ms = _CAP, None
-        admitted, after = [], []
-        for ts_ms in pdf["ts_ms"]:
-            if last_ms is not None:
-                tokens = min(_CAP, tokens + (int(ts_ms) - last_ms) // _REFILL_DIV)
-            last_ms = int(ts_ms)
-            ok = tokens >= _COST
-            if ok:
-                tokens -= _COST
-            admitted.append(ok)
-            after.append(tokens)
+        n = len(pdf)
+        ts = pdf["ts_ms"].to_numpy(np.int64)
+        r = np.zeros(n, np.int64)
+        if n > 1:
+            r[1:] = np.diff(ts) // _REFILL_DIV
+        big = r > _COST
+        bounds = np.flatnonzero(big)
+        adm = np.zeros(n, bool)
+        after = np.zeros(n, np.int64)
+        a, pos = _CAP, 0
+        while pos < n:
+            if big[pos] or a >= _COST:
+                m = min(_CAP, a + int(r[pos]))
+                ok = m >= _COST
+                a = m - _COST if ok else m
+                adm[pos], after[pos] = ok, a
+                pos += 1
+                continue
+            bi = int(np.searchsorted(bounds, pos))
+            nxt = int(bounds[bi]) if bi < len(bounds) else n
+            s = a + np.cumsum(r[pos:nxt])
+            k = s // _COST
+            adm[pos:nxt] = np.diff(k, prepend=0) > 0
+            after[pos:nxt] = s - _COST * k
+            a = int(after[nxt - 1])
+            pos = nxt
         out = pdf[["user_id", "event_id"]].copy()
-        out["admitted"] = admitted
+        out["admitted"] = adm
         out["tokens_after"] = after
         return out
 
