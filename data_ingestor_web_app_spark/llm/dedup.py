@@ -210,9 +210,18 @@ def _minhash_signatures(d: DataFrame) -> DataFrame:
     the original explode + 64-column groupBy shuffled the whole tokenized
     corpus (7.3 s) — at 100 TB that shuffle is the difference between a
     projection and a second pass over the corpus."""
+    return _minhash_from_tokens(
+        d.select("doc_id", F.array_distinct(F.split("text", " ")).alias("toks")),
+        key="doc_id",
+    )
+
+
+def _minhash_from_tokens(d: DataFrame, key: str) -> DataFrame:
+    """Same single-pass fold as _minhash_signatures, over a pre-built token
+    array column `toks`, keyed by an arbitrary `key` column."""
     fold = f"""
     aggregate(
-      array_distinct(split(text, ' ')),
+      toks,
       array_repeat(cast(9223372036854775807 as bigint), {_N_HASHES}),
       (acc, t) -> zip_with(acc,
                            transform(sequence(0, {_N_HASHES - 1}),
@@ -220,8 +229,8 @@ def _minhash_signatures(d: DataFrame) -> DataFrame:
                            (a, h) -> least(a, h))
     )
     """
-    return d.select("doc_id", F.expr(fold).alias("__mh")).select(
-        "doc_id", *[F.col("__mh")[i].alias(f"mh{i}") for i in range(_N_HASHES)]
+    return d.select(key, F.expr(fold).alias("__mh")).select(
+        key, *[F.col("__mh")[i].alias(f"mh{i}") for i in range(_N_HASHES)]
     )
 
 
@@ -229,67 +238,137 @@ def _minhash_signatures(d: DataFrame) -> DataFrame:
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH banding — the 100 TB near-dup path.
 
-    Pipeline: token-set → 64 minhashes (xxhash64, seeds 0..63) → 8 bands of
-    8 (LSH threshold (1/b)^(1/r) = (1/8)^(1/8) ≈ 0.77) → band-bucket
-    self-join (only docs agreeing on a whole band pair up)
-    → exact Jaccard verification on candidates. Candidate generation is
-    linear in corpus size + bucket collisions; the quadratic explode-join of
-    dedup_near is never executed at scale.
+    Pipeline: token-set → collapse exact-duplicate token sets to one
+    representative per 128-bit set key → 64 minhashes (xxhash64, seeds
+    0..63) on representatives → 8 bands of 8 (LSH threshold
+    (1/b)^(1/r) = (1/8)^(1/8) ≈ 0.77) → band-bucket self-join → exact
+    Jaccard verification on representative pairs → expand back through
+    group membership (cross pairs inherit the reps' Jaccard; within-group
+    pairs are 1.0 by identity). Candidate generation is linear in corpus
+    size + bucket collisions; the quadratic explode-join of dedup_near is
+    never executed at scale.
+
+    Two pair-explosion guards (this is where dup-dense corpora melt down):
+    (1) exact-dup collapse means a k-sized identical cluster is ONE LSH
+    node, not k quadratic colliders — on crawl corpora where boilerplate
+    clusters run 10^4+ deep this is the difference between linear and
+    quadratic band buckets; the final expansion is pure output
+    materialization, no re-verification. The 128-bit (two-seed xxhash64)
+    set key keeps birthday collisions negligible at 10^10+ docs where a
+    single 64-bit key would start merging distinct sets.
+    (2) each surviving pair is emitted by exactly ONE band — the first
+    band whose hashes agree (both sides carry their 8-long band vector
+    into the join; `array_position` finds the first match) — so the old
+    8x-duplicated candidate stream and its `.distinct()` re-shuffle are
+    gone; the join output IS the candidate set.
 
     Output: verified pairs with Jaccard >= 0.9 (a subset of dedup_near's
-    exact answer; tests assert recall >= 0.95 against it)."""
+    exact answer; tests assert recall >= 0.95 against it). Identical to
+    the uncollapsed formulation: identical token sets have identical
+    signatures, so doc-level LSH finds a cross pair iff rep-level LSH
+    finds the rep pair, and finds every within-group pair (all bands
+    agree)."""
     # Rebalance after the scan: the fixture is ONE parquet row group, which
     # Spark cannot split, so every per-row stage would run on one task. A
-    # round-robin repartition restores scan parallelism for the 64-hash
-    # signature projection and the token-set build; on a real multi-split
-    # corpus the scan already has the parallelism and this exchange is the
-    # first shuffle the band join needs anyway.
+    # round-robin repartition restores scan parallelism; on a real
+    # multi-split corpus the scan already has the parallelism and this
+    # exchange is the first shuffle the collapse needs anyway.
     d = table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
-    # materialize signatures once — the band self-join would otherwise
-    # recompute the whole explode+64-agg pipeline for BOTH sides (at scale:
-    # write signatures to a table, same reasoning)
-    sig = _minhash_signatures(d).cache()
-    rows_per_band = _N_HASHES // _N_BANDS
-    bands = sig.select(
-        "doc_id",
-        *[
-            F.xxhash64(*[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]).alias(f"band{b}")
-            for b in range(_N_BANDS)
-        ],
+    toks = F.array_distinct(F.split("text", " "))
+    skey = F.struct(
+        F.xxhash64(F.sort_array(toks)).alias("h1"),
+        F.xxhash64(F.sort_array(toks), F.lit("mh-lsh-2")).alias("h2"),
     )
-    band_rows = bands.select(
-        "doc_id",
-        F.explode(
-            F.array(*[F.struct(F.lit(b).alias("band"), F.col(f"band{b}").alias("bucket")) for b in range(_N_BANDS)])
-        ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bucket")
+    members = d.select("doc_id", skey.alias("tset")).cache()
+    # one representative token array per distinct token set (arrays in a
+    # group are permutations of each other; min_by pins a deterministic one)
+    reps = (
+        d.select("doc_id", toks.alias("toks"), skey.alias("tset"))
+        .groupBy("tset")
+        .agg(F.min_by("toks", "doc_id").alias("toks"))
+        .cache()
+    )
+    # materialize signatures once — the band self-join would otherwise
+    # recompute the 64-hash fold for BOTH sides (at scale: write
+    # signatures to a table, same reasoning)
+    sig = _minhash_from_tokens(reps.select("tset", "toks"), key="tset").cache()
+    rows_per_band = _N_HASHES // _N_BANDS
+    barr = F.array(
+        *[
+            F.xxhash64(*[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)])
+            for b in range(_N_BANDS)
+        ]
+    )
+    band_rows = (
+        sig.select("tset", barr.alias("barr"))
+        .select(
+            "tset",
+            "barr",
+            F.posexplode("barr").alias("band", "bucket"),
+        )
+    )
     a = band_rows.alias("a")
     b = band_rows.alias("b")
+    first_agree = F.expr(
+        "array_position(zip_with(a.barr, b.barr, (x, y) -> x = y), true)"
+    )
     candidates = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (
+                (F.col("a.tset.h1") < F.col("b.tset.h1"))
+                | (
+                    (F.col("a.tset.h1") == F.col("b.tset.h1"))
+                    & (F.col("a.tset.h2") < F.col("b.tset.h2"))
+                )
+            ),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+        .where(F.col("a.band") == first_agree - 1)
+        .select(F.col("a.tset").alias("set_a"), F.col("b.tset").alias("set_b"))
     )
-    # exact verification on candidates only
-    toksets = d.select("doc_id", F.array_distinct(F.split("text", " ")).alias("toks")).cache()
-    ta = toksets.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
-    tb = toksets.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
+    # exact verification on representative pairs only
+    ta = reps.select(F.col("tset").alias("set_a"), F.col("toks").alias("toks_a"))
+    tb = reps.select(F.col("tset").alias("set_b"), F.col("toks").alias("toks_b"))
     inter = F.size(F.array_intersect("toks_a", "toks_b"))
     union = F.size("toks_a") + F.size("toks_b") - inter
     jac = inter / union
-    return (
-        candidates.join(ta, "doc_a")
-        .join(tb, "doc_b")
+    verified = (
+        candidates.join(ta, "set_a")
+        .join(tb, "set_b")
         .where(jac >= 0.9)
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .select("set_a", "set_b", F.round(jac, 6).alias("jaccard"))
     )
+    # expand rep pairs to doc pairs through group membership
+    ma = members.select(F.col("tset").alias("set_a"), F.col("doc_id").alias("da"))
+    mb = members.select(F.col("tset").alias("set_b"), F.col("doc_id").alias("db"))
+    cross = (
+        verified.join(ma, "set_a")
+        .join(mb, "set_b")
+        .select(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
+            "jaccard",
+        )
+    )
+    m1 = members.alias("m1")
+    m2 = members.alias("m2")
+    within = (
+        m1.join(
+            m2,
+            (F.col("m1.tset") == F.col("m2.tset"))
+            & (F.col("m1.doc_id") < F.col("m2.doc_id")),
+        )
+        .select(
+            F.col("m1.doc_id").alias("doc_a"),
+            F.col("m2.doc_id").alias("doc_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    return cross.unionAll(within)
 
 
 @query("dedup_simhash")  # rows-only: xxhash64 bit arithmetic has no DuckDB twin
