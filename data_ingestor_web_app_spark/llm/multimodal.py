@@ -420,6 +420,90 @@ def band_energies(samples: list[int], rate: int) -> tuple[list[float], int]:
     return [round(v / tot, 6) for v in e], int(max(range(4), key=lambda i: e[i]))
 
 
+@query(
+    "mm_audio_dft_probe",
+    oracle="""
+    WITH docs AS (
+        SELECT doc_id, 800 + (doc_id % 10) * 80 AS n
+        FROM documents WHERE doc_id < 200
+    ),
+    s AS (
+        SELECT doc_id, i, ((i * (doc_id + 7)) % 2048) - 1024 AS v
+        FROM (SELECT doc_id, UNNEST(RANGE(n)) AS i FROM docs)
+    ),
+    agg AS (
+        SELECT doc_id,
+               SUM(v) AS s0,
+               SUM(CASE WHEN i % 4 = 0 THEN v
+                        WHEN i % 4 = 2 THEN -v ELSE 0 END) AS re,
+               SUM(CASE WHEN i % 4 = 1 THEN v
+                        WHEN i % 4 = 3 THEN -v ELSE 0 END) AS im,
+               SUM(CASE WHEN i % 2 = 0 THEN v ELSE -v END) AS ny,
+               SUM(v * v) AS energy
+        FROM s GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST(s0 * s0 AS BIGINT) AS p_dc,
+           CAST(re * re + im * im AS BIGINT) AS p_mid,
+           CAST(ny * ny AS BIGINT) AS p_nyq,
+           CAST(energy AS BIGINT) AS energy,
+           CASE WHEN s0 * s0 >= re * re + im * im AND s0 * s0 >= ny * ny THEN 0
+                WHEN re * re + im * im >= ny * ny THEN 1
+                ELSE 2 END AS dominant_probe
+    FROM agg
+    """,
+)
+def mm_audio_dft_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact spectral probes over the REAL decoded WAV column: the
+    DFT bins whose twiddle factors are exactly representable (Niven's
+    theorem: cos/sin rational only at periods 1, 2, 4) evaluated as pure
+    BIGINT Goertzel sums — power at DC, at rate/4 (2 kHz; weights cycle
+    {1,0,-1,0}), at Nyquist (rate/2; weights (-1)^i), plus the exact
+    Parseval energy Σv². This is the hash-exact companion to
+    mm_audio_spectral's full FFT banding: the same mapInPandas decode
+    path (stdlib WAV codec executor-side), but every output is an exact
+    integer, so the DuckDB oracle — which regenerates the samples
+    analytically, never seeing the WAV bytes — certifies the whole
+    decode-and-probe pipeline bit-for-bit.
+
+    Scale shape: per-row Python with NO shuffle; Arrow-batched; O(n) per
+    clip. dominant_probe ties break toward the lower frequency,
+    deterministically in both engines."""
+    import numpy as np
+
+    payloads = _audio_payloads(spark, sf_dir)
+
+    def probe_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from data_ingestor_web_app_spark.llm.codecs import wav_decode_pcm16
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                _rate, _n, samples = wav_decode_pcm16(bytes(payload))
+                v = np.asarray(samples, dtype=np.int64)
+                i = np.arange(len(v))
+                s0 = int(v.sum())
+                re = int(v[i % 4 == 0].sum() - v[i % 4 == 2].sum())
+                im = int(v[i % 4 == 1].sum() - v[i % 4 == 3].sum())
+                ny = int(v[i % 2 == 0].sum() - v[i % 2 == 1].sum())
+                energy = int((v * v).sum())
+                p = [s0 * s0, re * re + im * im, ny * ny]
+                dom = 0 if p[0] >= p[1] and p[0] >= p[2] else (1 if p[1] >= p[2] else 2)
+                rows.append((doc_id, p[0], p[1], p[2], energy, dom))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "p_dc", "p_mid", "p_nyq", "energy", "dominant_probe"],
+            )
+
+    return payloads.mapInPandas(
+        probe_batches,
+        schema=(
+            "doc_id long, p_dc long, p_mid long, p_nyq long, "
+            "energy long, dominant_probe int"
+        ),
+    )
+
+
 @query("mm_audio_spectral")  # rows-only: FFT band energies have no SQL twin
 def mm_audio_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio feature extraction: decode the PCM16 WAV column (stdlib

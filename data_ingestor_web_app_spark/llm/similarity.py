@@ -27,6 +27,7 @@ from data_ingestor_web_app_spark.io import table
 from data_ingestor_web_app_spark.llm.vector_common import (
     SIM_COSINE_TOPK_ORACLE,
     ORACLE_DOT as _ORACLE_DOT,
+    ann_bucket_ctes as _ann_bucket_ctes,
     dot as _dot,
     hyperplanes as _hyperplanes,
     norm as _norm,
@@ -102,7 +103,35 @@ def sim_pairwise_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
 _N_PLANES = 12  # 2^12 buckets; planes live in vector_common (shared, no-registration)
 
 
-@query("sim_ann_lsh")  # rows-only: ANN recall is strategy-specific
+_ANN_LSH_ORACLE = f"""
+    WITH {_ann_bucket_ctes()},
+    cand AS (
+        SELECT a.vec_id AS qid, b.vec_id AS nid
+        FROM bits a JOIN bits b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+    ),
+    dots AS (
+        SELECT cd.qid, cd.nid, SUM(CAST(a.x AS DOUBLE) * CAST(b.x AS DOUBLE)) AS dot
+        FROM cand cd
+        JOIN ex a ON a.vec_id = cd.qid
+        JOIN ex b ON b.vec_id = cd.nid AND b.i = a.i
+        GROUP BY cd.qid, cd.nid
+    ),
+    cos AS (
+        SELECT d.qid, d.nid, ROUND(d.dot / (nq.nrm * nn.nrm), 6) AS cosine
+        FROM dots d
+        JOIN norms nq ON nq.vec_id = d.qid
+        JOIN norms nn ON nn.vec_id = d.nid
+    )
+    SELECT qid, nid, cosine, rk FROM (
+        SELECT qid, nid, cosine,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY cosine DESC, nid) AS rk
+        FROM cos) t
+    WHERE rk <= 3
+    """
+
+
+@query("sim_ann_lsh", oracle=_ANN_LSH_ORACLE)
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate nearest neighbors via random-hyperplane LSH (SimHash for
     cosine): bucket = sign-bits of 12 fixed projections; candidates share a

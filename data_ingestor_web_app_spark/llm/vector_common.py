@@ -43,6 +43,42 @@ def hyperplanes(dim: int = 64) -> list[list[float]]:
     return rng.standard_normal((N_PLANES, dim)).tolist()
 
 
+def planes_values_sql() -> str:
+    """The seeded hyperplane matrix as a DuckDB VALUES literal — repr()
+    emits shortest-roundtrip decimals, so DuckDB parses the exact same
+    doubles Spark gets from F.lit()."""
+    return ",\n        ".join(
+        f"({p}, [{', '.join(repr(v) for v in pv)}]::DOUBLE[])"
+        for p, pv in enumerate(hyperplanes())
+    )
+
+
+def ann_bucket_ctes() -> str:
+    """Shared DuckDB CTE block replicating the hyperplane-LSH index build:
+    per-vector plane dots (pd), sign-bit buckets (bits), L2 norms (norms).
+    Float chains mirror the Spark side op-for-op so both engines hash the
+    same buckets (same doubles, same > 0 sign test)."""
+    return f"""planes(p, pv) AS (VALUES {planes_values_sql()}),
+    ex AS (SELECT vec_id, UNNEST(embedding) AS x,
+                  GENERATE_SUBSCRIPTS(embedding, 1) AS i
+           FROM embeddings),
+    pd AS (
+        SELECT ex.vec_id, pl.p, SUM(CAST(ex.x AS DOUBLE) * pl.pv[ex.i]) AS d
+        FROM ex CROSS JOIN planes pl
+        GROUP BY ex.vec_id, pl.p
+    ),
+    bits AS (
+        SELECT vec_id,
+               CAST(SUM(CASE WHEN d > 0 THEN 1 << p ELSE 0 END) AS BIGINT)
+                   AS bucket
+        FROM pd GROUP BY vec_id
+    ),
+    norms AS (
+        SELECT vec_id, SQRT(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm
+        FROM ex GROUP BY vec_id
+    )"""
+
+
 # Exploded query/corpus embeddings + norms + dots (qid < 20 query side).
 ORACLE_DOT = """
     qe AS (SELECT vec_id AS qid, UNNEST(embedding) AS x,

@@ -224,7 +224,59 @@ def sim_kmeans_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sim_ann_multiprobe")  # rows-only: ANN recall is strategy-specific
+from data_ingestor_web_app_spark.llm.vector_common import (
+    ann_bucket_ctes as _ann_bucket_ctes,
+)
+
+_MULTIPROBE_ORACLE = f"""
+    WITH {_ann_bucket_ctes()},
+    mr AS (
+        SELECT vec_id, p,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ABS(d), p) AS r
+        FROM pd
+    ),
+    flips AS (
+        SELECT vec_id, MAX(CASE WHEN r = 1 THEN p END) AS m0,
+               MAX(CASE WHEN r = 2 THEN p END) AS m1
+        FROM mr GROUP BY vec_id
+    ),
+    probes AS (
+        SELECT vec_id AS qid, bucket FROM bits
+        UNION ALL
+        SELECT b.vec_id, XOR(b.bucket, CAST(1 << f.m0 AS BIGINT))
+        FROM bits b JOIN flips f USING (vec_id)
+        UNION ALL
+        SELECT b.vec_id, XOR(b.bucket, CAST(1 << f.m1 AS BIGINT))
+        FROM bits b JOIN flips f USING (vec_id)
+    ),
+    cand AS (
+        SELECT DISTINCT pr.qid, c.vec_id AS nid
+        FROM probes pr
+        JOIN bits c ON c.bucket = pr.bucket AND c.vec_id <> pr.qid
+    ),
+    dots AS (
+        SELECT cd.qid, cd.nid, SUM(CAST(a.x AS DOUBLE) * CAST(b.x AS DOUBLE)) AS dot
+        FROM cand cd
+        JOIN ex a ON a.vec_id = cd.qid
+        JOIN ex b ON b.vec_id = cd.nid AND b.i = a.i
+        GROUP BY cd.qid, cd.nid
+    ),
+    cos AS (
+        SELECT d.qid, d.nid, ROUND(d.dot / (nq.nrm * nn.nrm), 6) AS cosine
+        FROM dots d
+        JOIN norms nq ON nq.vec_id = d.qid
+        JOIN norms nn ON nn.vec_id = d.nid
+    )
+    SELECT qid, nid, cosine, rk FROM (
+        SELECT qid, nid, cosine,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY cosine DESC, nid) AS rk
+        FROM cos) t
+    WHERE rk <= 3
+    """
+
+
+@query("sim_ann_multiprobe", oracle=_MULTIPROBE_ORACLE)
 def sim_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-probe LSH ANN — same random-hyperplane buckets as sim_ann_lsh,
     but each QUERY additionally probes the two buckets reached by flipping

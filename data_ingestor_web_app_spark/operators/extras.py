@@ -215,6 +215,43 @@ def scan_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "scan_sample_hash",
+    oracle="""
+    SELECT l_orderkey, l_linenumber
+    FROM lineitem
+    WHERE CAST(CONCAT('0x', SUBSTR(MD5(CAST(l_orderkey AS VARCHAR) || '|' ||
+                                   CAST(l_linenumber AS VARCHAR)), 1, 8))
+               AS BIGINT) < 429496729
+    """,
+)
+def scan_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% Bernoulli sample by keyed hash — the
+    cross-engine-reproducible twin of scan_sample: keep a row iff the top
+    32 bits of md5(orderkey|linenumber) fall below 0.1 * 2^32. Unlike
+    seeded engine sampling, the SAME rows survive in any engine, any
+    partitioning, any day — which is what a training-data pipeline needs
+    for resumable/auditable subsampling. Pure projection+filter inside the
+    scan: no shuffle, no materialization of the unsampled stream."""
+    li = table(spark, sf_dir, "lineitem")
+    u32 = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("l_orderkey").cast("string"),
+                    F.col("l_linenumber").cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return li.where(u32 < 429496729).select("l_orderkey", "l_linenumber")
+
+
+@query(
     "agg_minmax_by",
     oracle="""
     SELECT o_custkey,

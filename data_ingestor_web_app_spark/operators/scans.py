@@ -54,13 +54,18 @@ def scan_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sink_json_lines")  # rows-only: JSON round-trip re-types timestamps
+@query(
+    "sink_json_lines",
+    oracle="SELECT doc_id, lang, n_chars FROM documents",
+)
 def sink_json_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R11: append-only JSON-lines sink (main.go:116-120), then read back.
 
     Write path is the same `df.write.json` that at scale fans out one file
     per task; round-trip proves the sink is lossless for the LogEntry-shaped
-    columns. Output: stable scalar projection of the re-read data.
+    columns. The projection is ints + strings only, which JSON round-trips
+    exactly, so the oracle is simply the source projection — the hash
+    check certifies write+read losslessness, not just row counts.
     """
     docs = table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
     out = os.path.join(tempfile.mkdtemp(prefix="sink_json_"), "docs")
@@ -73,11 +78,17 @@ def sink_json_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sink_partitioned_text")  # rows-only: filesystem round-trip
+@query(
+    "sink_partitioned_text",
+    oracle="SELECT o_orderkey, o_orderstatus FROM orders",
+)
 def sink_partitioned_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R14/R20: date-partitioned text sink (legacy file-per-record ./data dir,
     logrotate daily rotation). Partitioning column = order date; retention at
     scale is `WHERE d >= retention_horizon` partition pruning + drop.
+    The pipe-delimited line format round-trips keys and statuses exactly,
+    so the oracle is the source projection — hash equality proves the
+    partitioned write + text read-back loses nothing.
     """
     orders = table(spark, sf_dir, "orders")
     lines = orders.select(
