@@ -80,6 +80,13 @@ HEADLINE = [
     "agg_rfm_segments",
     "agg_ks_test",
     "dedup_semdedup",
+    # round-4/5 wave representatives (driver-visible perf canaries for the
+    # newest families: interval coalescing, retrieval eval, rate limiting,
+    # ANN multiprobe)
+    "join_interval_coalesce",
+    "model_ndcg_retrieval",
+    "events_rate_limit",
+    "sim_ann_multiprobe",
 ]
 
 

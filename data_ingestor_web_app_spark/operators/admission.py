@@ -60,17 +60,22 @@ def events_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     main.go's connection cap re-expressed as a data-parallel fold).
 
     The bucket state is inherently sequential PER USER but embarrassingly
-    parallel ACROSS users — exactly the applyInPandas contract: one
-    shuffle clusters each user's events, then a vectorized Arrow batch
-    folds each group in microseconds. All arithmetic is integer
-    milli-tokens (refill = gap_ms // 7200), so the fold is bit-exact and
-    the DuckDB recursive-CTE oracle reproduces it hash-exactly — an
-    admission decision is never float-dependent.
+    parallel ACROSS users: ONE hash-repartition on user_id +
+    sortWithinPartitions(user, ts, event_id) delivers every user's events
+    contiguous and replay-ordered, then a single mapInPandas pass folds
+    all of a partition's users with numpy segment slices — no per-group
+    Arrow round-trip (applyInPandas paid ~3 ms/group on thousands of tiny
+    groups). All arithmetic is integer milli-tokens
+    (refill = gap_ms // 7200), so the fold is bit-exact and the DuckDB
+    recursive-CTE oracle reproduces it hash-exactly — an admission
+    decision is never float-dependent.
 
     At 100 TB: state is O(1) per user, the single shuffle is on the
     natural entity key, and a hot user (skewed key) bounds one task's
     work by that user's event count only — the same bound the reference's
     per-connection goroutine has (main.go worker pool)."""
+    from collections.abc import Iterator
+
     import numpy as np
     import pandas as pd
 
@@ -78,8 +83,9 @@ def events_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "event_id", F.unix_millis("ts").alias("ts_ms")
     )
 
-    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
-        # Vectorized scan. Two invariants make the recurrence segmentable:
+    def fold_span(ts: np.ndarray, adm: np.ndarray, after: np.ndarray) -> None:
+        # Vectorized scan over one user's ts-ordered slice (writes adm/after
+        # in place). Two invariants make the recurrence segmentable:
         # (1) tokens_after ∈ [0, _COST] after every step (admit subtracts
         #     _COST from m ≤ _CAP = 2*_COST; reject leaves m < _COST), and
         # (2) with bucket a ∈ [0, _COST) and per-step refill r ≤ _COST the
@@ -90,16 +96,12 @@ def events_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
         # admits-so-far k_i = S_i // _COST (each step admits ≤ once because
         # r ≤ _COST) and tokens_after_i = S_i - _COST*k_i. Boundary steps
         # are peeled scalar; everything else is one cumsum per segment.
-        pdf = pdf.sort_values(["ts_ms", "event_id"]).reset_index(drop=True)
-        n = len(pdf)
-        ts = pdf["ts_ms"].to_numpy(np.int64)
+        n = len(ts)
         r = np.zeros(n, np.int64)
         if n > 1:
             r[1:] = np.diff(ts) // _REFILL_DIV
         big = r > _COST
         bounds = np.flatnonzero(big)
-        adm = np.zeros(n, bool)
-        after = np.zeros(n, np.int64)
         a, pos = _CAP, 0
         while pos < n:
             if big[pos] or a >= _COST:
@@ -117,11 +119,40 @@ def events_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
             after[pos:nxt] = s - _COST * k
             a = int(after[nxt - 1])
             pos = nxt
-        out = pdf[["user_id", "event_id"]].copy()
-        out["admitted"] = adm
-        out["tokens_after"] = after
-        return out
 
-    return e.groupBy("user_id").applyInPandas(
-        fold, "user_id long, event_id long, admitted boolean, tokens_after long"
+    def fold_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # One pass per PARTITION, not per group: with hash-partitioning on
+        # user_id + sortWithinPartitions(user, ts, event_id), each user's
+        # rows arrive contiguous and already in replay order, so per-user
+        # spans are numpy slice boundaries — no per-group pandas frame, no
+        # per-group Arrow batch. (applyInPandas paid ~3 ms/group on 1.5k
+        # tiny groups; one partition-wide frame amortizes that to zero.)
+        chunks = list(batches)
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
+        uid = pdf["user_id"].to_numpy(np.int64)
+        ts = pdf["ts_ms"].to_numpy(np.int64)
+        adm = np.zeros(len(uid), bool)
+        after = np.zeros(len(uid), np.int64)
+        starts = np.concatenate(
+            ([0], np.flatnonzero(uid[1:] != uid[:-1]) + 1, [len(uid)])
+        )
+        for s, t in zip(starts[:-1], starts[1:]):
+            fold_span(ts[s:t], adm[s:t], after[s:t])
+        yield pd.DataFrame(
+            {
+                "user_id": uid,
+                "event_id": pdf["event_id"].to_numpy(np.int64),
+                "admitted": adm,
+                "tokens_after": after,
+            }
+        )
+
+    parts = e.repartition(
+        spark.sparkContext.defaultParallelism, "user_id"
+    ).sortWithinPartitions("user_id", "ts_ms", "event_id")
+    return parts.mapInPandas(
+        fold_partition,
+        "user_id long, event_id long, admitted boolean, tokens_after long",
     )

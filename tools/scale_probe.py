@@ -70,11 +70,150 @@ def replicate(spark, src_sf: str, mult: int) -> str:
     return out
 
 
+# LLM/vector probes run against a SYNTHESIZED mult× corpus (new ids,
+# isomorphic-but-divergent content — see synth_llm), because naive
+# replication would either create mult²-quadratic duplicate clusters
+# (copied text/vectors are exact dups of each other) or vacuously copy
+# the tables as dims.
+LLM_PROBES = [
+    "dedup_exact", "dedup_minhash_lsh", "dedup_embedding",
+    "sim_knn_graph", "sim_ivf_topk", "text_gopher_rules",
+]
+
+
+def synth_llm(spark, src_sf: str, mult: int) -> str:
+    """Documents/embeddings synthesized mult× larger with preserved
+    internal structure and suppressed cross-copy similarity.
+
+    documents: copy i renames ~20% of tokens (hash-seeded per copy) —
+    a token-alphabet isomorphism, so every within-copy Jaccard is EXACTLY
+    preserved (shared tokens rename identically, set sizes unchanged)
+    while cross-copy Jaccard drops to ~0.67 < the 0.77 LSH threshold:
+    near-dup pairs scale ×mult, not ×mult².
+
+    embeddings: copy i applies a seeded coordinate permutation + sign
+    flip — an orthogonal transform, so every within-copy dot product,
+    norm, and cosine is EXACTLY preserved while cross-copy cosines are
+    scrambled toward 0; labels shift per copy so the IVF codebook grows
+    ×mult like a real corpus's partition count would.
+
+    Relational tables are copied as-is (unused dims for these ops)."""
+    import random
+
+    out = tempfile.mkdtemp(prefix=f"llm_x{mult}_")
+    docs = table(spark, src_sf, "documents")
+    emb = table(spark, src_sf, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+
+    doc_copies, emb_copies = [], []
+    for i in range(mult):
+        if i == 0:
+            doc_copies.append(docs)
+            emb_copies.append(emb)
+            continue
+        renamed = F.array_join(
+            F.expr(
+                f"transform(split(text, ' '), "
+                f"t -> if(pmod(xxhash64(t, {i}), 5) = 0, concat(t, '_r{i}'), t))"
+            ),
+            " ",
+        )
+        doc_copies.append(
+            docs.select(
+                (F.col("doc_id") + F.lit(i * 10_000_000)).alias("doc_id"),
+                renamed.alias("text"),
+                "lang",
+                "source",
+                F.length(renamed).cast("long").alias("n_chars"),
+            )
+        )
+        rng = random.Random(7_000 + i)
+        perm = list(range(dim))
+        rng.shuffle(perm)
+        signs = [rng.choice((-1.0, 1.0)) for _ in range(dim)]
+        emb_copies.append(
+            emb.select(
+                (F.col("vec_id") + F.lit(i * 10_000_000)).alias("vec_id"),
+                F.array(
+                    *[
+                        (F.col("embedding")[perm[j]] * F.lit(signs[j])).cast("float")
+                        for j in range(dim)
+                    ]
+                ).alias("embedding"),
+                (F.col("label") + F.lit(i * 1000)).alias("label"),
+            )
+        )
+
+    big_docs = doc_copies[0]
+    for c in doc_copies[1:]:
+        big_docs = big_docs.unionByName(c)
+    big_emb = emb_copies[0]
+    for c in emb_copies[1:]:
+        big_emb = big_emb.unionByName(c)
+    big_docs.write.mode("overwrite").parquet(f"{out}/documents.parquet")
+    big_emb.write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
+    for name in TABLES:
+        if name in ("documents", "embeddings"):
+            continue
+        table(spark, src_sf, name).write.mode("overwrite").parquet(
+            f"{out}/{name}.parquet"
+        )
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mult", type=int, default=16)
     ap.add_argument("--src", default="/root/testdata/sf0.1")
+    ap.add_argument(
+        "--llm", action="store_true",
+        help="probe the LLM/vector ops against a synthesized mult× corpus",
+    )
     args = ap.parse_args()
+
+    if args.llm:
+        registry.load_all()
+        spark = get_spark("scale-probe-llm")
+        spark.sparkContext.setLogLevel("ERROR")
+        big_dir = synth_llm(spark, args.src, args.mult)
+        n_docs = spark.read.parquet(f"{big_dir}/documents.parquet").count()
+        n_vecs = spark.read.parquet(f"{big_dir}/embeddings.parquet").count()
+
+        def timed_llm(name: str, sf_dir: str) -> tuple[float, int]:
+            t0 = time.perf_counter()
+            n = registry.QUERIES[name](spark, sf_dir).count()
+            return round(time.perf_counter() - t0, 3), n
+
+        timed_llm("dedup_exact", args.src)  # warm
+        base = {n: timed_llm(n, args.src) for n in LLM_PROBES}
+        big = {n: timed_llm(n, big_dir) for n in LLM_PROBES}
+        print(
+            json.dumps(
+                {
+                    "mult": args.mult,
+                    "documents_rows": n_docs,
+                    "embeddings_rows": n_vecs,
+                    "base_sec": {n: v[0] for n, v in base.items()},
+                    "scaled_sec": {n: v[0] for n, v in big.items()},
+                    "base_rows": {n: v[1] for n, v in base.items()},
+                    "scaled_rows": {n: v[1] for n, v in big.items()},
+                    "time_ratio": {
+                        n: round(big[n][0] / max(base[n][0], 1e-9), 1)
+                        for n in LLM_PROBES
+                    },
+                    "rows_ratio": {
+                        n: round(big[n][1] / max(base[n][1], 1), 1)
+                        for n in LLM_PROBES
+                    },
+                    "note": (
+                        f"corpus x{args.mult} (synthesized, isomorphic copies); "
+                        "linear ops ideal time ratio <= mult; sim_knn_graph cost "
+                        "model is O(N^1.5) => ideal ratio ~ mult^1.5"
+                    ),
+                }
+            )
+        )
+        return
 
     registry.load_all()
     spark = get_spark("scale-probe")
