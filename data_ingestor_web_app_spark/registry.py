@@ -39,35 +39,41 @@ ORACLES: dict[str, str] = {}
 # New queries this round must be added to BACK-of-list modules (or new
 # modules appended after the window block) so they don't shift slots 1-50.
 _MODULES = [
-    # --- round-3 driver window: 50 never-checked queries ---
-    "data_ingestor_web_app_spark.llm.multimodal",            # 8
-    "data_ingestor_web_app_spark.operators.tpch_extra",      # 7
-    "data_ingestor_web_app_spark.llm.vector_extra",          # 6
-    "data_ingestor_web_app_spark.operators.events_analytics",  # 8
-    "data_ingestor_web_app_spark.operators.timeseries",      # 5
-    "data_ingestor_web_app_spark.llm.corpus_quality",        # 5
-    "data_ingestor_web_app_spark.operators.warehouse",       # 3
-    "data_ingestor_web_app_spark.operators.tpch_more",       # 4
-    "data_ingestor_web_app_spark.llm.text_extra",            # 2
-    "data_ingestor_web_app_spark.operators.upsert",          # 1
-    "data_ingestor_web_app_spark.functions.collation",       # 1  -> 50 total
-    # --- remaining never-checked modules (next rounds' windows) ---
-    "data_ingestor_web_app_spark.llm.pipeline_extra",
-    "data_ingestor_web_app_spark.operators.recursive",
-    "data_ingestor_web_app_spark.operators.iterative",
-    "data_ingestor_web_app_spark.functions.variant",
-    "data_ingestor_web_app_spark.operators.fuzzy",
-    "data_ingestor_web_app_spark.operators.tpch_final",
-    "data_ingestor_web_app_spark.operators.profiling",
-    "data_ingestor_web_app_spark.operators.modeling",
-    "data_ingestor_web_app_spark.operators.admission",
-    "data_ingestor_web_app_spark.functions.arrow_boundary",
-    "data_ingestor_web_app_spark.operators.interval_join",
-    "data_ingestor_web_app_spark.operators.maintenance",
-    "data_ingestor_web_app_spark.operators.pruning",
-    "data_ingestor_web_app_spark.operators.zorder",
-    "data_ingestor_web_app_spark.operators.temporal",
-    "data_ingestor_web_app_spark.operators.rollups",
+    # --- round-5 driver window: exactly 50 never-driver-checked queries
+    #     (r3/r4 sampled the multimodal..collation block, now demoted) ---
+    "data_ingestor_web_app_spark.llm.pipeline_extra",  # 7 (cum 7)
+    "data_ingestor_web_app_spark.operators.recursive",  # 2 (cum 9)
+    "data_ingestor_web_app_spark.operators.iterative",  # 1 (cum 10)
+    "data_ingestor_web_app_spark.functions.variant",  # 2 (cum 12)
+    "data_ingestor_web_app_spark.operators.fuzzy",  # 1 (cum 13)
+    "data_ingestor_web_app_spark.operators.tpch_final",  # 6 (cum 19)
+    "data_ingestor_web_app_spark.operators.profiling",  # 4 (cum 23)
+    "data_ingestor_web_app_spark.operators.modeling",  # 2 (cum 25)
+    "data_ingestor_web_app_spark.operators.admission",  # 1 (cum 26)
+    "data_ingestor_web_app_spark.functions.arrow_boundary",  # 1 (cum 27)
+    "data_ingestor_web_app_spark.operators.interval_join",  # 1 (cum 28)
+    "data_ingestor_web_app_spark.operators.maintenance",  # 2 (cum 30)
+    "data_ingestor_web_app_spark.operators.pruning",  # 2 (cum 32)
+    "data_ingestor_web_app_spark.operators.zorder",  # 1 (cum 33)
+    "data_ingestor_web_app_spark.operators.temporal",  # 3 (cum 36)
+    "data_ingestor_web_app_spark.operators.rollups",  # 2 (cum 38)
+    "data_ingestor_web_app_spark.operators.wave112",  # 3 (cum 41)
+    "data_ingestor_web_app_spark.operators.wave113",  # 3 (cum 44)
+    "data_ingestor_web_app_spark.operators.wave114",  # 3 (cum 47)
+    "data_ingestor_web_app_spark.operators.wave115",  # 3 (cum 50)
+    # --- everything below has either been driver-checked (r1-r4) or
+    #     sits outside the 50-slot sample window ---
+    "data_ingestor_web_app_spark.llm.multimodal",
+    "data_ingestor_web_app_spark.operators.tpch_extra",
+    "data_ingestor_web_app_spark.llm.vector_extra",
+    "data_ingestor_web_app_spark.operators.events_analytics",
+    "data_ingestor_web_app_spark.operators.timeseries",
+    "data_ingestor_web_app_spark.llm.corpus_quality",
+    "data_ingestor_web_app_spark.operators.warehouse",
+    "data_ingestor_web_app_spark.operators.tpch_more",
+    "data_ingestor_web_app_spark.llm.text_extra",
+    "data_ingestor_web_app_spark.operators.upsert",
+    "data_ingestor_web_app_spark.functions.collation",
     "data_ingestor_web_app_spark.operators.dq",
     "data_ingestor_web_app_spark.llm.vector_pq",
     "data_ingestor_web_app_spark.operators.experiments",
@@ -92,7 +98,6 @@ _MODULES = [
     "data_ingestor_web_app_spark.llm.span_corruption",
     "data_ingestor_web_app_spark.functions.codecs_fn",
     "data_ingestor_web_app_spark.sources.payload_source",
-    # --- driver-checked in rounds 1-2 (green): register last ---
     "data_ingestor_web_app_spark.operators.extras",
     "data_ingestor_web_app_spark.operators.scans",
     "data_ingestor_web_app_spark.operators.joins",
@@ -107,7 +112,6 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.filters",
     "data_ingestor_web_app_spark.operators.aggregates",
     "data_ingestor_web_app_spark.operators.setops",
-    # round-3 additions (after the window block, so slots 1-50 are stable)
     "data_ingestor_web_app_spark.operators.wave30",
     "data_ingestor_web_app_spark.operators.wave31",
     "data_ingestor_web_app_spark.operators.wave32",
@@ -192,10 +196,6 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave109",
     "data_ingestor_web_app_spark.operators.wave110",
     "data_ingestor_web_app_spark.operators.wave111",
-    "data_ingestor_web_app_spark.operators.wave112",
-    "data_ingestor_web_app_spark.operators.wave113",
-    "data_ingestor_web_app_spark.operators.wave114",
-    "data_ingestor_web_app_spark.operators.wave115",
     "data_ingestor_web_app_spark.operators.wave116",
     "data_ingestor_web_app_spark.operators.wave117",
     "data_ingestor_web_app_spark.operators.wave118",
@@ -205,6 +205,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave122",
     "data_ingestor_web_app_spark.streaming.wave122",
 ]
+
 
 
 def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
