@@ -204,6 +204,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave121",
     "data_ingestor_web_app_spark.operators.wave122",
     "data_ingestor_web_app_spark.streaming.wave122",
+    "data_ingestor_web_app_spark.llm.wave123",
 ]
 
 
