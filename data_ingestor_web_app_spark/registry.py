@@ -205,6 +205,8 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave122",
     "data_ingestor_web_app_spark.streaming.wave122",
     "data_ingestor_web_app_spark.llm.wave123",
+    "data_ingestor_web_app_spark.operators.wave124",
+    "data_ingestor_web_app_spark.streaming.wave124",
 ]
 
 
