@@ -207,6 +207,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.llm.wave123",
     "data_ingestor_web_app_spark.operators.wave124",
     "data_ingestor_web_app_spark.streaming.wave124",
+    "data_ingestor_web_app_spark.operators.wave125",
 ]
 
 

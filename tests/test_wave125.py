@@ -1,0 +1,48 @@
+"""Wave-125 semantics: Apriori downward closure, timezone/DST edges,
+inverted-index structure."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_ingestor_web_app_spark.io import table
+from data_ingestor_web_app_spark.registry import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_apriori_downward_closure(spark):
+    rows = QUERIES["basket_apriori_itemsets"](spark, SF).collect()
+    pairs = {(r["item1"], r["item2"]): r["support"] for r in rows if r["set_size"] == 2}
+    triples = [r for r in rows if r["set_size"] == 3]
+    assert pairs
+    for r in triples:
+        a, b, c, s = r["item1"], r["item2"], r["item3"], r["support"]
+        assert a < b < c
+        # every 2-subset of a frequent triple is frequent with >= support
+        for sub in [(a, b), (a, c), (b, c)]:
+            assert sub in pairs and pairs[sub] >= s
+
+
+def test_timezone_offsets_and_dst(spark):
+    rows = QUERIES["fn_timezone_convert"](spark, SF).collect()
+    assert rows
+    offs = {r["ny_offset_hours"] for r in rows}
+    assert offs <= {-5, -4}
+    assert len(offs) == 2  # 7-year span crosses DST both ways
+    for r in rows:
+        # Tokyo is fixed +9: local string = utc + 9h (string compare via
+        # reparse)
+        assert r["ny_is_dst"] == (r["ny_offset_hours"] == -4)
+        assert 1 <= r["iso_week"] <= 53
+
+
+def test_inverted_index_postings_sorted_and_df_consistent(spark):
+    rows = QUERIES["text_inverted_index"](spark, SF).collect()
+    assert rows
+    n_docs = table(spark, SF, "documents").count()
+    for r in rows:
+        assert r["postings_head"] == sorted(r["postings_head"])
+        assert len(r["postings_head"]) == min(r["df"], 5)
+        assert 2 <= r["df"] <= min(400, n_docs)
+        assert r["total_tf"] >= r["df"]
