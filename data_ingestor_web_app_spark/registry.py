@@ -208,6 +208,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave124",
     "data_ingestor_web_app_spark.streaming.wave124",
     "data_ingestor_web_app_spark.operators.wave125",
+    "data_ingestor_web_app_spark.operators.wave126",
 ]
 
 
