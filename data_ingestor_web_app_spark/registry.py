@@ -209,6 +209,8 @@ _MODULES = [
     "data_ingestor_web_app_spark.streaming.wave124",
     "data_ingestor_web_app_spark.operators.wave125",
     "data_ingestor_web_app_spark.operators.wave126",
+    "data_ingestor_web_app_spark.operators.wave127",
+    "data_ingestor_web_app_spark.streaming.wave127",
 ]
 
 
