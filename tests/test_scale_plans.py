@@ -325,3 +325,35 @@ def test_heavy_hitters_recount_is_semi_join(spark, sf_small):
     a full-cardinality groupBy of the gram stream."""
     p = plan(spark, "agg_heavy_hitters_mg", sf_small)
     assert "LeftSemi" in p
+
+
+def test_wave123_dsir_broadcasts_delta_table(spark, sf_small):
+    p = plan(spark, "pipeline_dsir_weights", sf_small)
+    assert "BroadcastHashJoin" in p  # 1024-row delta side broadcast
+    assert "CartesianProduct" not in p
+
+
+def test_wave123_winnowing_is_pure_projection(spark, sf_small):
+    # winnowing runs entirely in per-row higher-order functions: the only
+    # allowed exchange is the parquet scan's output — no shuffle at all
+    p = plan(spark, "text_winnowing_fingerprint", sf_small)
+    assert "Exchange" not in p
+
+
+def test_wave125_apriori_has_no_cartesian(spark, sf_small):
+    p = plan(spark, "basket_apriori_itemsets", sf_small)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_wave126_ql_broadcasts_query_terms(spark, sf_small):
+    p = plan(spark, "text_query_likelihood_dirichlet", sf_small)
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+
+
+def test_rate_limit_is_single_pass_mapinpandas(spark, sf_small):
+    # partition-wide fold: one hash repartition + mapInPandas, and NOT the
+    # per-group applyInPandas operator (FlatMapGroupsInPandas)
+    p = plan(spark, "events_rate_limit", sf_small)
+    assert "MapInPandas" in p
+    assert "FlatMapGroupsInPandas" not in p
