@@ -211,6 +211,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave126",
     "data_ingestor_web_app_spark.operators.wave127",
     "data_ingestor_web_app_spark.streaming.wave127",
+    "data_ingestor_web_app_spark.operators.wave128",
 ]
 
 
