@@ -197,6 +197,9 @@ def mm_image_ssim_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     gradients and drops with high-frequency content; the frame-to-frame
     variant of this statistic is the standard video shot-change feature.
     Constants c1=(0.01·255)², c2=(0.03·255)²; population variances.
+    Companion to mm_image_ssim_global (wave-72), which decomposes SSIM
+    under a BRIGHTNESS shift; this one reports the full index under a
+    SPATIAL shift — the two transforms SSIM treats oppositely.
 
     The Spark side decodes the actual PNG bytes (CRC-checked inflate in
     pkg codecs) executor-side and emits only exact integer pixel sums;

@@ -214,6 +214,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave128",
     "data_ingestor_web_app_spark.operators.wave129",
     "data_ingestor_web_app_spark.operators.wave130",
+    "data_ingestor_web_app_spark.operators.wave131",
 ]
 
 
