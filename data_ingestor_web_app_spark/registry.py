@@ -216,6 +216,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave130",
     "data_ingestor_web_app_spark.operators.wave131",
     "data_ingestor_web_app_spark.streaming.wave132",
+    "data_ingestor_web_app_spark.operators.wave133",
 ]
 
 
