@@ -225,6 +225,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.llm.wave139",
     "data_ingestor_web_app_spark.operators.wave140",
     "data_ingestor_web_app_spark.sources.wave141",
+    "data_ingestor_web_app_spark.operators.wave142",
 ]
 
 
