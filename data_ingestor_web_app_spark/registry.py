@@ -226,6 +226,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave140",
     "data_ingestor_web_app_spark.sources.wave141",
     "data_ingestor_web_app_spark.operators.wave142",
+    "data_ingestor_web_app_spark.operators.wave143",
 ]
 
 
