@@ -227,6 +227,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.sources.wave141",
     "data_ingestor_web_app_spark.operators.wave142",
     "data_ingestor_web_app_spark.operators.wave143",
+    "data_ingestor_web_app_spark.operators.wave144",
 ]
 
 
