@@ -228,6 +228,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave142",
     "data_ingestor_web_app_spark.operators.wave143",
     "data_ingestor_web_app_spark.operators.wave144",
+    "data_ingestor_web_app_spark.operators.wave145",
 ]
 
 
