@@ -230,6 +230,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave144",
     "data_ingestor_web_app_spark.operators.wave145",
     "data_ingestor_web_app_spark.operators.wave146",
+    "data_ingestor_web_app_spark.operators.wave147",
 ]
 
 
