@@ -232,6 +232,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave146",
     "data_ingestor_web_app_spark.operators.wave147",
     "data_ingestor_web_app_spark.llm.wave148",
+    "data_ingestor_web_app_spark.llm.wave149",
 ]
 
 
