@@ -233,6 +233,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave147",
     "data_ingestor_web_app_spark.llm.wave148",
     "data_ingestor_web_app_spark.llm.wave149",
+    "data_ingestor_web_app_spark.functions.wave150",
 ]
 
 
