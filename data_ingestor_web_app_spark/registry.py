@@ -235,6 +235,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.llm.wave149",
     "data_ingestor_web_app_spark.functions.wave150",
     "data_ingestor_web_app_spark.operators.wave151",
+    "data_ingestor_web_app_spark.operators.wave152",
 ]
 
 
