@@ -236,6 +236,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.functions.wave150",
     "data_ingestor_web_app_spark.operators.wave151",
     "data_ingestor_web_app_spark.operators.wave152",
+    "data_ingestor_web_app_spark.llm.wave153",
 ]
 
 
