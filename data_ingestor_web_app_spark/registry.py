@@ -237,6 +237,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave151",
     "data_ingestor_web_app_spark.operators.wave152",
     "data_ingestor_web_app_spark.llm.wave153",
+    "data_ingestor_web_app_spark.llm.wave154",
 ]
 
 
