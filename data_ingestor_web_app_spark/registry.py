@@ -238,6 +238,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave152",
     "data_ingestor_web_app_spark.llm.wave153",
     "data_ingestor_web_app_spark.llm.wave154",
+    "data_ingestor_web_app_spark.functions.wave155",
 ]
 
 
