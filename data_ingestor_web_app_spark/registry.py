@@ -240,6 +240,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.llm.wave154",
     "data_ingestor_web_app_spark.functions.wave155",
     "data_ingestor_web_app_spark.operators.wave156",
+    "data_ingestor_web_app_spark.operators.wave157",
 ]
 
 
