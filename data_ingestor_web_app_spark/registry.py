@@ -241,6 +241,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.functions.wave155",
     "data_ingestor_web_app_spark.operators.wave156",
     "data_ingestor_web_app_spark.operators.wave157",
+    "data_ingestor_web_app_spark.operators.wave158",
 ]
 
 
