@@ -16,7 +16,8 @@ from data_ingestor_web_app_spark.registry import query
     oracle="""
     WITH h AS (
         SELECT o_orderkey,
-               MD5('order-ns:' || CAST(o_orderkey AS VARCHAR)) AS hx
+               MD5('ORDERNS-DATAENG!' || 'order-'
+                   || CAST(o_orderkey AS VARCHAR)) AS hx
         FROM orders WHERE o_orderkey % 100 = 0
     )
     SELECT o_orderkey,
@@ -31,11 +32,18 @@ from data_ingestor_web_app_spark.registry import query
 )
 def fn_uuid_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic name-based UUIDs, version 3 (RFC 4122 §4.3, public):
-    md5 of a namespace-qualified key, with the version nibble forced to
-    3 and the variant nibble mapped into {8,9,a,b} — the
-    content-addressed surrogate key that lets two independent pipelines
-    mint the SAME id for the same entity without coordination (the
-    idempotency anchor for cross-system joins and retried writes).
+    MD5(namespace_UUID_bytes || name) with the version nibble forced to
+    3 and the variant bits to 10 — the content-addressed surrogate key
+    that lets two independent pipelines mint the SAME id for the same
+    entity without coordination (the idempotency anchor for cross-system
+    joins and retried writes).
+
+    Stdlib interop (r5 ADVICE fix): the namespace is the UUID whose 16
+    raw bytes are the ASCII string ``ORDERNS-DATAENG!``
+    (4f524445-524e-532d-4441-5441454e4721), so the VARCHAR concatenation
+    both engines hash IS the RFC's bytes(ns) || name, and every emitted
+    id equals ``uuid.uuid3(uuid.UUID(bytes=b'ORDERNS-DATAENG!'),
+    f'order-{key}')`` exactly (pytest-asserted).
 
     Determinism: pure md5 + hex string surgery, identical in both
     engines (the variant nibble is reduced mod 4 through an exact hex
@@ -47,7 +55,13 @@ def fn_uuid_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("o_orderkey") % 100 == 0)
         .select(
             "o_orderkey",
-            F.md5(F.concat(F.lit("order-ns:"), F.col("o_orderkey").cast("string"))).alias("hx"),
+            F.md5(
+                F.concat(
+                    F.lit("ORDERNS-DATAENG!"),
+                    F.lit("order-"),
+                    F.col("o_orderkey").cast("string"),
+                )
+            ).alias("hx"),
         )
     )
     variant = F.substring(

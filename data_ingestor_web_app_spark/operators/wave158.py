@@ -19,14 +19,14 @@ _EDGES_SQL = """e AS MATERIALIZED (
             JOIN lineitem b ON a.l_orderkey = b.l_orderkey
                            AND a.l_partkey < b.l_partkey)
         GROUP BY u, v HAVING COUNT(DISTINCT l_orderkey) >= 2
-    )""",
+    )"""
 
 _CC_ROUNDS = 12
 
 
 def _cc_oracle() -> str:
     ctes = [
-        _EDGES_SQL[0],
+        _EDGES_SQL,
         "sym AS MATERIALIZED (SELECT u, v FROM e UNION ALL SELECT v, u FROM e)",
         """l0 AS MATERIALIZED (
         SELECT u, u AS lbl FROM (SELECT DISTINCT u FROM sym)
@@ -129,7 +129,7 @@ _LPA_ROUNDS = 5
 
 def _lpa_oracle() -> str:
     ctes = [
-        _EDGES_SQL[0],
+        _EDGES_SQL,
         "sym AS MATERIALIZED (SELECT u, v FROM e UNION ALL SELECT v, u FROM e)",
         """c0 AS MATERIALIZED (
         SELECT u, u AS lbl FROM (SELECT DISTINCT u FROM sym)

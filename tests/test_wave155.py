@@ -17,20 +17,16 @@ def test_uuid_v3_shape_and_determinism(spark):
     pat = re.compile(
         r"^[0-9a-f]{8}-[0-9a-f]{4}-3[0-9a-f]{3}-[89ab][0-9a-f]{3}-[0-9a-f]{12}$"
     )
+    ns = uuid.UUID(bytes=b"ORDERNS-DATAENG!")
     seen = set()
     for r in rows:
         u = r["uuid_v3"]
         assert pat.match(u), u
         assert u not in seen  # distinct keys -> distinct uuids
         seen.add(u)
-        # digits besides version/variant nibbles come straight from md5 of
-        # the namespaced name (matches a python reconstruction)
-        import hashlib
-
-        hx = hashlib.md5(f"order-ns:{r['o_orderkey']}".encode()).hexdigest()
-        assert u.replace("-", "")[:12] == hx[:12]
-        assert u.replace("-", "")[13:16] == hx[13:16]
-        assert u.replace("-", "")[17:] == hx[17:]
+        # full RFC 4122 interop: every id equals the stdlib's uuid3 for
+        # the same namespace UUID and name (r5 ADVICE fix)
+        assert u == str(uuid.uuid3(ns, f"order-{r['o_orderkey']}"))
     # round-trip through the stdlib parser (validates RFC shape + version)
     parsed = uuid.UUID(rows[0]["uuid_v3"])
     assert parsed.version == 3
