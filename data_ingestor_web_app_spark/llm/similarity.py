@@ -31,6 +31,7 @@ from data_ingestor_web_app_spark.llm.vector_common import (
     dot as _dot,
     hyperplanes as _hyperplanes,
     norm as _norm,
+    plane_micro_dot as _plane_micro_dot,
 )
 from data_ingestor_web_app_spark.registry import query
 
@@ -144,18 +145,9 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     against sim_cosine_topk instead of asserting exact equality."""
     e = table(spark, sf_dir, "embeddings")
     planes = _hyperplanes()
-    plane_cols = [
-        F.aggregate(
-            F.zip_with(
-                F.col("embedding"),
-                F.array(*[F.lit(v) for v in plane]),
-                lambda x, y: x.cast("double") * y,
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        for plane in planes
-    ]
+    # integer micro-dot projections: sign test is order-independent, so the
+    # DuckDB oracle's unordered SUM can never flip a bucket bit (r5 ADVICE)
+    plane_cols = [_plane_micro_dot(F.col("embedding"), plane) for plane in planes]
     bucket = None
     for i, pc in enumerate(plane_cols):
         bit = F.when(pc > 0, F.lit(1 << i)).otherwise(F.lit(0))

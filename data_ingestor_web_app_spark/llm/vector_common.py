@@ -43,6 +43,30 @@ def hyperplanes(dim: int = 64) -> list[list[float]]:
     return rng.standard_normal((N_PLANES, dim)).tolist()
 
 
+def plane_micro_dot(emb, plane: list[float]):
+    """Integer-quantized hyperplane projection: Σ floor((x·p)·1e9) as LONG.
+
+    The LSH bucket bit is the SIGN of this projection and multi-probe ranks
+    planes by its |margin| — both are discontinuous in the dot value, so a
+    last-ulp difference between Spark's sequential array fold and DuckDB's
+    unordered SUM could flip a bucket bit whenever a vector sits within ~1
+    ulp of a hyperplane (r5 ADVICE). Quantizing each elementwise product to
+    an integer BEFORE summation makes the addition exact and
+    order-independent: both engines floor the identical double (x*p)*1e9
+    (floor, not round — round's half-up vs half-even tie rules differ across
+    engines) and sum exact BIGINTs, so sign and margin can never disagree.
+    Max |term| ≈ 5·1e9 over 64 dims ≈ 3e11 — far inside int64."""
+    return F.aggregate(
+        F.zip_with(
+            emb,
+            F.array(*[F.lit(v) for v in plane]),
+            lambda x, y: F.floor(x.cast("double") * y * F.lit(1e9)).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
 def planes_values_sql() -> str:
     """The seeded hyperplane matrix as a DuckDB VALUES literal — repr()
     emits shortest-roundtrip decimals, so DuckDB parses the exact same
@@ -55,15 +79,21 @@ def planes_values_sql() -> str:
 
 def ann_bucket_ctes() -> str:
     """Shared DuckDB CTE block replicating the hyperplane-LSH index build:
-    per-vector plane dots (pd), sign-bit buckets (bits), L2 norms (norms).
-    Float chains mirror the Spark side op-for-op so both engines hash the
-    same buckets (same doubles, same > 0 sign test)."""
+    per-vector plane projections (pd, integer micro-dots — see
+    plane_micro_dot for why the sign test must not ride on a float SUM),
+    sign-bit buckets (bits), L2 norms (norms). The bucket/margin chain is
+    exact-integer in BOTH engines; only the cosine re-rank stays float,
+    where ROUND(...,6) gives ~1e-10 headroom over the ulp-level fold-order
+    divergence (documented residual, same posture as
+    text_textrank_keywords)."""
     return f"""planes(p, pv) AS (VALUES {planes_values_sql()}),
     ex AS (SELECT vec_id, UNNEST(embedding) AS x,
                   GENERATE_SUBSCRIPTS(embedding, 1) AS i
            FROM embeddings),
     pd AS (
-        SELECT ex.vec_id, pl.p, SUM(CAST(ex.x AS DOUBLE) * pl.pv[ex.i]) AS d
+        SELECT ex.vec_id, pl.p,
+               SUM(CAST(FLOOR(CAST(ex.x AS DOUBLE) * pl.pv[ex.i] * 1e9)
+                   AS BIGINT)) AS d
         FROM ex CROSS JOIN planes pl
         GROUP BY ex.vec_id, pl.p
     ),

@@ -1,0 +1,294 @@
+"""Listen-mode TCP ingestion — the faithful R1 parity path.
+
+The reference is a TCP *server*: it binds, accepts connections, reads each
+connection's bytes until EOF/idle, writes an ack, and makes a LogEntry
+(/root/reference/main.go:199-257, 266-318). Spark's built-in `socket`
+source inverts that role (it dials out), which
+`streaming/socket_ingest.py` documents honestly. This module closes the
+gap with a custom Python DataSource (Spark 4 `SimpleDataSourceStreamReader`)
+that LISTENS: `echo 'test data' | nc <host> <port>` — the reference's own
+deploy smoke (deploy.sh:174) — works verbatim against the engine.
+
+Semantics mirrored from main.go:
+- accept loop with a monotonically increasing connection ordinal
+  (main.go:219, 234: `atomic.AddUint64(&connectionID, 1)`) — this is a
+  TRUE per-connection id, unlike the content hash the dial-mode source
+  must fall back to;
+- reject-above-cap admission (main.go:252-255): a connection semaphore of
+  `maxConnections`; when full the connection is closed IMMEDIATELY without
+  reading — the shed-load leg. Rejections are emitted IN-BAND as records
+  with kind='rejected' so they are observable through the stream itself
+  (Spark-idiomatic: metrics are data), mirroring the reference's WARN log;
+- bounded worker pool (main.go:26, 172-187): admitted connections are
+  handled by `maxWorkers` threads; like the reference's "worker pool full,
+  handle directly" fallback, admitted work is never dropped — it queues;
+- chunked read with a 1 s idle deadline (main.go:273-296): 4096-byte
+  reads accumulate until EOF or timeout — one payload per connection;
+- empty-payload WARN (main.go:298-301): emitted as kind='empty' with a
+  zero-byte payload; the shared R9 projection (`to_logentries`'s
+  byte_count > 0 filter) then drops it, exactly like the reference never
+  logs a data record for it;
+- per-record ack written back on the connection (main.go:316-317):
+  "Data processed successfully\\nBytes: N\\nConnection ID: K\\n".
+
+Scale posture: a single listening socket is inherently one node — the
+reference's own design (318 LoC, one process). The SimpleDataSourceStream
+Reader runs in the driver's source process, which matches that topology;
+at 100 TB/day the ingestion edge is a fleet of such listeners writing to a
+partitioned log (Kafka), and the downstream `to_logentries` plan is
+already source-agnostic (stateless projection). The source exists for
+protocol parity, not bulk throughput — SURVEY §2A R1.
+"""
+
+from __future__ import annotations
+
+import socket
+import threading
+from concurrent.futures import ThreadPoolExecutor
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+
+SCHEMA = (
+    "conn_id bigint, client_ip string, payload binary, payload_str string, "
+    "kind string, recv_epoch_ms bigint"
+)
+
+
+class _Listener:
+    """The accept loop + worker pool + record buffer (main.go:199-318)."""
+
+    def __init__(
+        self,
+        host: str,
+        port: int,
+        max_connections: int,
+        max_workers: int,
+        read_timeout_sec: float,
+    ):
+        self.host = host
+        self.port = port
+        self.max_connections = max_connections
+        self.read_timeout_sec = read_timeout_sec
+        self._lock = threading.Lock()
+        self._records: list[tuple] = []  # absolute-indexed via _base
+        self._base = 0
+        self._conn_ordinal = 0
+        self._slots = threading.Semaphore(max_connections)
+        self._pool = ThreadPoolExecutor(max_workers=max_workers)
+        self._stopped = threading.Event()
+        self._sock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        self._sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        self._sock.bind((host, port))
+        self._sock.listen(128)
+        self._accept_thread = threading.Thread(target=self._accept_loop, daemon=True)
+        self._accept_thread.start()
+
+    def _now_ms(self) -> int:
+        import time
+
+        return int(time.time() * 1000)
+
+    def _append(self, conn_id: int, client_ip: str, payload: bytes, kind: str) -> None:
+        rec = (
+            conn_id,
+            client_ip,
+            payload,
+            payload.decode("utf-8", errors="replace"),
+            kind,
+            self._now_ms(),
+        )
+        with self._lock:
+            self._records.append(rec)
+
+    def _accept_loop(self) -> None:
+        while not self._stopped.is_set():
+            try:
+                conn, addr = self._sock.accept()
+            except OSError:
+                break  # socket closed during shutdown (main.go:225-231)
+            with self._lock:
+                self._conn_ordinal += 1
+                conn_id = self._conn_ordinal
+            client_ip = f"{addr[0]}:{addr[1]}"
+            # main.go:237-255 — non-blocking semaphore acquire; full => close
+            # the connection unread (the shed-load leg), recorded in-band
+            if self._slots.acquire(blocking=False):
+                self._pool.submit(self._handle, conn, conn_id, client_ip)
+            else:
+                self._append(conn_id, client_ip, b"", "rejected")
+                conn.close()
+
+    def _handle(self, conn: socket.socket, conn_id: int, client_ip: str) -> None:
+        # main.go:266-318 — chunked read until EOF or idle timeout, then ack
+        try:
+            conn.settimeout(self.read_timeout_sec)
+            data = bytearray()
+            while True:
+                try:
+                    chunk = conn.recv(4096)
+                except socket.timeout:
+                    break  # idle => payload complete (main.go:289-292)
+                except OSError:
+                    return
+                if not chunk:
+                    break  # EOF
+                data.extend(chunk)
+            if data:
+                self._append(conn_id, client_ip, bytes(data), "data")
+                ack = (
+                    f"Data processed successfully\nBytes: {len(data)}\n"
+                    f"Connection ID: {conn_id}\n"
+                )
+                try:
+                    conn.sendall(ack.encode())
+                except OSError:
+                    pass
+            else:
+                self._append(conn_id, client_ip, b"", "empty")
+        finally:
+            try:
+                conn.close()
+            except OSError:
+                pass
+            self._slots.release()
+
+    def drain(self, start_idx: int) -> tuple[list[tuple], int]:
+        with self._lock:
+            rows = self._records[start_idx - self._base :]
+            return rows, self._base + len(self._records)
+
+    def slice(self, start_idx: int, end_idx: int) -> list[tuple]:
+        with self._lock:
+            return self._records[start_idx - self._base : end_idx - self._base]
+
+    def prune(self, end_idx: int) -> None:
+        with self._lock:
+            keep = end_idx - self._base
+            if keep > 0:
+                del self._records[:keep]
+                self._base = end_idx
+
+    def stop(self) -> None:
+        self._stopped.set()
+        try:
+            self._sock.close()
+        except OSError:
+            pass
+        self._pool.shutdown(wait=False)
+
+
+class TcpListenStreamReader(SimpleDataSourceStreamReader):
+    """Offsets are absolute record indexes; records stay buffered until
+    commit() so readBetweenOffsets() can replay a failed batch (the
+    at-least-once contract the simple-reader API requires)."""
+
+    def __init__(self, options: dict):
+        self._options = options
+        self._listener: _Listener | None = None
+
+    def _ensure(self) -> _Listener:
+        if self._listener is None:
+            self._listener = _Listener(
+                host=self._options.get("host", "127.0.0.1"),
+                port=int(self._options.get("port", 0)),
+                max_connections=int(self._options.get("maxconnections", 1000)),
+                max_workers=int(self._options.get("maxworkers", 100)),
+                read_timeout_sec=float(self._options.get("readtimeoutsec", 1.0)),
+            )
+        return self._listener
+
+    def initialOffset(self) -> dict:
+        self._ensure()
+        return {"idx": 0}
+
+    def read(self, start: dict):
+        rows, end_idx = self._ensure().drain(int(start["idx"]))
+        return iter(rows), {"idx": end_idx}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        # Runs on EXECUTOR python workers over a pickled COPY of this reader
+        # (the wrapper's data path when the driver's prefetch cache misses —
+        # notably every empty batch, where start == end). A copy must NEVER
+        # bind the port: the one live listener belongs to the driver-side
+        # runner process that calls initialOffset()/read(). With no listener
+        # there is nothing to replay — a live accepted-socket source is
+        # at-most-once across restarts by nature (documented in the module
+        # docstring); the prefetch cache serves all normal batches.
+        if self._listener is None:
+            return iter(())
+        return iter(self._listener.slice(int(start["idx"]), int(end["idx"])))
+
+    def commit(self, end: dict) -> None:
+        self._ensure().prune(int(end["idx"]))
+
+    def stop(self) -> None:
+        if self._listener is not None:
+            self._listener.stop()
+
+
+class TcpListenDataSource(DataSource):
+    """format("tcplisten"); options: host, port, maxConnections, maxWorkers,
+    readTimeoutSec. Option keys arrive case-insensitively lowered."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "tcplisten"
+
+    def schema(self) -> str:
+        return SCHEMA
+
+    def simpleStreamReader(self, schema) -> TcpListenStreamReader:  # noqa: ARG002
+        return TcpListenStreamReader(self.options)
+
+
+_registered_for: set[int] = set()
+
+
+def register(spark: SparkSession) -> None:
+    if id(spark) not in _registered_for:
+        spark.dataSource.register(TcpListenDataSource)
+        _registered_for.add(id(spark))
+
+
+def tcp_listen_stream(
+    spark: SparkSession,
+    host: str,
+    port: int,
+    max_connections: int = 1000,
+    max_workers: int = 100,
+    read_timeout_sec: float = 1.0,
+) -> DataFrame:
+    """The raw listen-mode stream: data + rejected + empty records."""
+    register(spark)
+    return (
+        spark.readStream.format("tcplisten")
+        .option("host", host)
+        .option("port", str(port))
+        .option("maxConnections", str(max_connections))
+        .option("maxWorkers", str(max_workers))
+        .option("readTimeoutSec", str(read_timeout_sec))
+        .load()
+    )
+
+
+def tcp_listen_logentry_stream(
+    spark: SparkSession, host: str, port: int, **kw
+) -> DataFrame:
+    """R1 end-to-end, listen mode: accepted TCP payloads → LogEntry records
+    via the SAME shared R4-R10 projection as every other ingest path.
+    kind='rejected'/'empty' records carry zero-byte payloads, so the shared
+    byte_count > 0 filter drops them exactly like main.go:298-301 never
+    builds a data record for them."""
+    from data_ingestor_web_app_spark.ingest.records import to_logentries
+
+    raw = tcp_listen_stream(spark, host, port, **kw)
+    payloads = raw.select(
+        "conn_id",
+        "payload",
+        "payload_str",
+        "client_ip",
+        F.timestamp_millis(F.col("recv_epoch_ms")).alias("recv_ts"),
+    )
+    return to_logentries(payloads)

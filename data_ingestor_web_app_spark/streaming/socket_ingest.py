@@ -31,13 +31,22 @@ def socket_payload_stream(spark: SparkSession, host: str, port: int) -> DataFram
 
     Framing parity with the reference: the socket source splits on
     newlines, the reference frames on read() chunks (main.go:287-296) —
-    both deliver byte payloads in arrival order. conn_id is a content
-    hash (the socket source multiplexes one connection, so there is no
-    per-connection counter to observe); client_ip is the peer address the
-    source dialed; recv_ts is the arrival clock, exactly like the
-    reference's time.Now() stamp (main.go:102) — live streams are the one
-    place SURVEY §7's no-current_timestamp rule does not apply, because
-    arrival time IS the datum."""
+    both deliver byte payloads in arrival order.
+
+    Identity semantics (r5 ADVICE): the socket source multiplexes ONE
+    dialed connection, so there is no per-connection counter or peer
+    address to observe. The content hash is therefore named what it IS —
+    ``payload_hash`` — and ``conn_id`` carries the same value ONLY as the
+    content-key alias `to_logentries` requires: two records with identical
+    payload bytes coalesce under it, and ``client_ip`` is the address this
+    source dialed, not a peer. Downstream consumers that need true
+    per-connection identity must use the listen-mode DataSource
+    (`sources/tcp_listen.py`), which accepts real connections and stamps
+    each record with its accept-loop connection ordinal and peer address —
+    the faithful main.go:199-257 parity path. recv_ts is the arrival
+    clock, exactly like the reference's time.Now() stamp (main.go:102) —
+    live streams are the one place SURVEY §7's no-current_timestamp rule
+    does not apply, because arrival time IS the datum."""
     raw = (
         spark.readStream.format("socket")
         .option("host", host)
@@ -45,6 +54,8 @@ def socket_payload_stream(spark: SparkSession, host: str, port: int) -> DataFram
         .load()
     )
     return raw.select(
+        F.xxhash64("value").alias("payload_hash"),
+        # content key, NOT a connection id — see identity semantics above
         F.xxhash64("value").alias("conn_id"),
         F.col("value").cast("binary").alias("payload"),
         F.col("value").alias("payload_str"),
