@@ -307,7 +307,17 @@ def _knn_graph_blocked(spark: SparkSession, sf_dir: str, block_rows: int) -> Dat
     e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     # sizing only: ONE scalar to the driver, never row data
     n = e.count()
-    n_blocks = max(1, min(64, -(-n // block_rows)))
+    # Two pressures set the block count B (r6 fix for the r5 drift probe —
+    # the 1024-row floor alone gave B=2 at n=2000, i.e. 4 GEMM tasks on 32
+    # cores, so small corpora ran underparallelized):
+    #  - capacity: B >= ceil(n / block_rows) keeps each GEMM tile bounded;
+    #  - parallelism: B^2 >= 2 * defaultParallelism keeps every core fed
+    #    (B^2 block-pair tasks), without collapsing into kernel-overhead
+    #    confetti the way B = sqrt(n) would at small n.
+    # The 64 cap bounds replication: shuffle is 2*n*B rows <= 128n.
+    par = spark.sparkContext.defaultParallelism
+    b_parallel = int(-(-(2 * par) ** 0.5 // 1))
+    n_blocks = max(1, min(64, n, max(-(-n // block_rows), b_parallel)))
 
     blk = (F.col("vec_id") % n_blocks).cast("int")
     tags = F.array(*[F.lit(i) for i in range(n_blocks)])
