@@ -16,7 +16,11 @@ from pyspark.sql import SparkSession
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
-def get_spark(app_name: str = "data-ingestor-spark", shuffle_partitions: int | None = None) -> SparkSession:
+def get_spark(
+    app_name: str = "data-ingestor-spark",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
     """Build (or fetch) the engine's SparkSession.
 
     At 100 TB, shuffle partitions would be sized to ~128-256 MB per task
@@ -44,4 +48,9 @@ def get_spark(app_name: str = "data-ingestor-spark", shuffle_partitions: int | N
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    # extra_conf only applies to the FIRST session in a process (getOrCreate
+    # reuses an existing one) — used by tools/scale_probe.py to re-enable
+    # the UI REST API for task-time skew measurements.
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
     return builder.getOrCreate()

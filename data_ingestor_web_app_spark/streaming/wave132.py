@@ -15,6 +15,32 @@ from data_ingestor_web_app_spark.registry import query
 from data_ingestor_web_app_spark.streaming import runtime
 
 
+def make_ack_writer(ack_dir: str):
+    """ForeachWriter appending one `ACK <event_id>` line per record to a
+    file keyed by (epoch, partition), opened with TRUNCATE: a retried task
+    (foreach is at-least-once) rewrites its own previous partial attempt
+    rather than appending to it, which makes the ledger idempotent —
+    replay-safe exactly-once acks without any coordination. Shared by the
+    stream_foreach_ack query and the chaos kill-restart test."""
+
+    class AckWriter:
+        def open(self, partition_id: int, epoch_id: int) -> bool:
+            self._f = open(
+                os.path.join(ack_dir, f"ack-{epoch_id}-{partition_id}.txt"), "w"
+            )
+            return True
+
+        def process(self, row) -> None:  # noqa: ANN001
+            self._f.write(f"ACK {row['event_id']}\n")
+
+        def close(self, error) -> None:  # noqa: ANN001
+            self._f.close()
+            if error:
+                raise error
+
+    return AckWriter()
+
+
 @query(
     "stream_foreach_ack",
     oracle="SELECT event_id FROM events",
@@ -31,33 +57,22 @@ def stream_foreach_ack(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events` — hash equality proves every event was acked exactly
     once and nothing else was.
 
-    Semantics note: foreach is at-least-once under retries; a single
-    clean availableNow pass (as here) acks exactly once, which is what
-    the hash certifies. Idempotent ack endpoints are the production
-    answer, exactly as with the reference's TCP reply.
+    Semantics note: foreach is at-least-once under retries; the writer
+    makes the ack ledger IDEMPOTENT by keying each file on
+    (epoch, partition) and opening with truncate — a replayed task
+    overwrites its own previous attempt instead of appending duplicates,
+    so the final ledger is exactly-once even across mid-batch crashes
+    (r6: proven by tests/test_chaos_streaming.py's double-kill restart).
+    This is the file-ledger form of the idempotent ack endpoint a real
+    deployment uses, exactly as with the reference's TCP reply.
 
     Scale shape: acks are written executor-side per partition — no
     driver involvement, no shuffle beyond the source's own."""
     ack_dir = tempfile.mkdtemp(prefix="ack_sink_")
     s = runtime.events_stream(spark, sf_dir).select("event_id")
 
-    class AckWriter:
-        def open(self, partition_id: int, epoch_id: int) -> bool:
-            self._f = open(
-                os.path.join(ack_dir, f"ack-{epoch_id}-{partition_id}.txt"), "a"
-            )
-            return True
-
-        def process(self, row) -> None:  # noqa: ANN001
-            self._f.write(f"ACK {row['event_id']}\n")
-
-        def close(self, error) -> None:  # noqa: ANN001
-            self._f.close()
-            if error:
-                raise error
-
     q = (
-        s.writeStream.foreach(AckWriter())
+        s.writeStream.foreach(make_ack_writer(ack_dir))
         .option("checkpointLocation", tempfile.mkdtemp(prefix="ack_ckpt_"))
         .trigger(availableNow=True)
         .start()

@@ -161,6 +161,211 @@ def synth_llm(spark, src_sf: str, mult: int) -> str:
     return out
 
 
+def replicate_skewed(spark, src_sf: str, mult: int, hot_pct: int = 20) -> tuple[str, int]:
+    """Like replicate(), but Zipf-headed: in EVERY lineitem copy, hot_pct%
+    of rows are remapped to ONE hot orderkey (chosen to survive
+    join_shuffle's o_totalprice filter), so at mult=16 a single join/agg
+    key holds ~hot_pct% of a 16x fact table — the power-law head that
+    makes naive shuffles straggle. Orders copies keep the same key shift
+    as the uniform probe so the non-hot tail still joins 1:1."""
+    out = tempfile.mkdtemp(prefix=f"skewed_x{mult}_")
+    hot = (
+        table(spark, src_sf, "orders")
+        .where(F.col("o_totalprice") > 400000)
+        .agg(F.max("o_orderkey"))
+        .first()[0]
+    )
+    stride = 10_000_000
+    for name in TABLES:
+        df = table(spark, src_sf, name)
+        if name == "lineitem":
+            copies = []
+            for i in range(mult):
+                is_hot = (
+                    F.pmod(F.xxhash64("l_orderkey", "l_linenumber", F.lit(i)), F.lit(100))
+                    < hot_pct
+                )
+                copies.append(
+                    df.withColumn(
+                        "l_orderkey",
+                        F.when(is_hot, F.lit(hot)).otherwise(
+                            F.col("l_orderkey") + F.lit(i * stride)
+                        ),
+                    )
+                )
+        elif name in ("orders", "events"):
+            col = {"orders": "o_orderkey", "events": "event_id"}[name]
+            copies = [
+                df.withColumn(col, F.col(col) + F.lit(i * stride)) for i in range(mult)
+            ]
+        else:
+            df.write.mode("overwrite").parquet(f"{out}/{name}.parquet")
+            continue
+        big = copies[0]
+        for c in copies[1:]:
+            big = big.unionByName(c)
+        big.write.mode("overwrite").parquet(f"{out}/{name}.parquet")
+    return out, hot
+
+
+def synth_boilerplate_docs(spark, src_sf: str, depth: int = 10_000) -> str:
+    """documents ∪ ONE document repeated `depth` times under fresh doc_ids —
+    the 10^4-deep boilerplate cluster real crawl corpora carry. The
+    minhash-LSH exact-dup collapse must reduce it to ONE LSH node (linear
+    candidate generation); only the final membership expansion materializes
+    the C(depth,2) within-pairs."""
+    out = tempfile.mkdtemp(prefix=f"boiler_{depth}_")
+    docs = table(spark, src_sf, "documents")
+    chosen = docs.orderBy("doc_id").limit(1)
+    clones = (
+        chosen.crossJoin(spark.range(depth).select(F.col("id").alias("__i")))
+        .select(
+            (F.lit(90_000_000) + F.col("__i")).alias("doc_id"),
+            "text",
+            "lang",
+            "source",
+            "n_chars",
+        )
+    )
+    docs.unionByName(clones).write.mode("overwrite").parquet(f"{out}/documents.parquet")
+    for name in TABLES:
+        if name == "documents":
+            continue
+        table(spark, src_sf, name).write.mode("overwrite").parquet(
+            f"{out}/{name}.parquet"
+        )
+    return out
+
+
+def _task_skew_from_rest(
+    spark, min_stage_id: int, min_tasks: int = 8, min_max_ms: float = 200.0
+) -> dict:
+    """Worst max/median executorRunTime ratio across the stages (with >=
+    min_tasks tasks) run since min_stage_id, via the UI REST API — the
+    straggler metric: AQE skew-split / salting is working iff the hot key
+    does NOT become one task 4x slower than its stage's median."""
+    import urllib.request
+
+    base = spark.sparkContext.uiWebUrl
+    app_id = spark.sparkContext.applicationId
+    stages = json.load(
+        urllib.request.urlopen(f"{base}/api/v1/applications/{app_id}/stages?status=COMPLETE")
+    )
+    worst = {"ratio": 0.0, "stage": None, "median_ms": None, "max_ms": None}
+    for st in stages:
+        sid = st["stageId"]
+        if sid < min_stage_id or st.get("numCompleteTasks", 0) < min_tasks:
+            continue
+        try:
+            summ = json.load(
+                urllib.request.urlopen(
+                    f"{base}/api/v1/applications/{app_id}/stages/{sid}/"
+                    f"{st['attemptId']}/taskSummary?quantiles=0.5,1.0"
+                )
+            )
+        except Exception:
+            continue
+        med, mx = summ["executorRunTime"]
+        if mx < min_max_ms:
+            continue  # millisecond-noise stages: a 7ms "straggler" over a
+            # 1ms median is scheduler jitter, not skew — only stages with
+            # real work can evidence a hot-key straggler
+        if med <= 0:
+            med = 1.0
+        ratio = mx / med
+        if ratio > worst["ratio"]:
+            worst = {
+                "ratio": round(ratio, 2),
+                "stage": sid,
+                "median_ms": med,
+                "max_ms": mx,
+                "n_tasks": st["numCompleteTasks"],
+            }
+    return worst
+
+
+def run_skew_probe(args) -> None:
+    registry.load_all()
+    spark = get_spark(
+        "scale-probe-skew", extra_conf={"spark.ui.enabled": "true"}
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    uniform_dir = replicate(spark, args.src, args.mult)
+    skew_dir, hot = replicate_skewed(spark, args.src, args.mult)
+    boiler_dir = synth_boilerplate_docs(spark, args.src, depth=args.depth)
+
+    probes = ["join_shuffle", "agg_salted_twophase", "agg_groupby"]
+
+    def timed(name: str, sf_dir: str) -> float:
+        t0 = time.perf_counter()
+        registry.QUERIES[name](spark, sf_dir).count()
+        return round(time.perf_counter() - t0, 3)
+
+    timed("agg_groupby", uniform_dir)  # warm
+    uniform = {n: timed(n, uniform_dir) for n in probes}
+
+    skew_times, task_skew = {}, {}
+    for n in probes:
+        stage_floor = _max_stage_id(spark)
+        skew_times[n] = timed(n, skew_dir)
+        task_skew[n] = _task_skew_from_rest(spark, stage_floor + 1)
+
+    t0 = time.perf_counter()
+    base_pairs = registry.QUERIES["dedup_minhash_lsh"](spark, args.src).count()
+    base_lsh = round(time.perf_counter() - t0, 3)
+    stage_floor = _max_stage_id(spark)
+    t0 = time.perf_counter()
+    boiler_pairs = registry.QUERIES["dedup_minhash_lsh"](spark, boiler_dir).count()
+    boiler_lsh = round(time.perf_counter() - t0, 3)
+    lsh_task_skew = _task_skew_from_rest(spark, stage_floor + 1)
+
+    print(
+        json.dumps(
+            {
+                "mult": args.mult,
+                "hot_orderkey": hot,
+                "uniform_sec": uniform,
+                "skewed_sec": skew_times,
+                "wall_ratio": {
+                    n: round(skew_times[n] / max(uniform[n], 1e-9), 2) for n in probes
+                },
+                "task_skew_max_over_median": {
+                    n: task_skew[n] for n in probes
+                },
+                "boilerplate": {
+                    "depth": args.depth,
+                    "base_sec": base_lsh,
+                    "boiler_sec": boiler_lsh,
+                    "base_pairs": base_pairs,
+                    "boiler_pairs": boiler_pairs,
+                    "expected_extra_pairs": args.depth * (args.depth - 1) // 2,
+                    "task_skew": lsh_task_skew,
+                },
+                "note": (
+                    "skewed fixture: one orderkey holds ~20% of a "
+                    f"{args.mult}x lineitem; gate: task max/median < 4 and "
+                    "wall_ratio bounded (AQE skew-join + salting working)"
+                ),
+            }
+        )
+    )
+
+
+def _max_stage_id(spark) -> int:
+    import urllib.request
+
+    base = spark.sparkContext.uiWebUrl
+    app_id = spark.sparkContext.applicationId
+    try:
+        stages = json.load(
+            urllib.request.urlopen(f"{base}/api/v1/applications/{app_id}/stages")
+        )
+        return max((s["stageId"] for s in stages), default=-1)
+    except Exception:
+        return -1
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mult", type=int, default=16)
@@ -169,7 +374,18 @@ def main() -> None:
         "--llm", action="store_true",
         help="probe the LLM/vector ops against a synthesized mult× corpus",
     )
+    ap.add_argument(
+        "--skew", action="store_true",
+        help="probe hot-key skew: Zipf-headed join/agg fixtures + a deep "
+        "boilerplate duplicate cluster",
+    )
+    ap.add_argument("--depth", type=int, default=10_000,
+                    help="boilerplate cluster depth for --skew")
     args = ap.parse_args()
+
+    if args.skew:
+        run_skew_probe(args)
+        return
 
     if args.llm:
         registry.load_all()
