@@ -160,11 +160,26 @@ def go_quote_udf(s: pd.Series) -> pd.Series:
     return s.map(lambda v: None if v is None else _go_quote(v))
 
 
-@query("udf_quote")  # rows-only: Go-specific escaping has no SQL oracle
+@query(
+    "udf_quote",
+    oracle="""
+    SELECT doc_id AS conn_id,
+           '"' || REPLACE(REPLACE(SUBSTR(text, 1, 40), '\\', '\\\\'),
+                          '"', '\\"') || '"' AS binary_data_string
+    FROM documents
+    """,
+)
 def udf_quote(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R6: Go %q printable-quoting of the payload (main.go:113) as an
     Arrow-vectorized pandas UDF (batch transfer, not row-at-a-time).
-    Rows-only check; unit tests pin golden outputs for known inputs."""
+
+    Promoted from rows-only to hash-exact in r6 (VERDICT item 7): on
+    printable-ASCII input, Go's strconv.Quote reduces to quote-wrapping
+    with backslash/quote escapes — exactly expressible in SQL, and the
+    fixture corpus is verified printable-ASCII-only. The full Go escape
+    table (control chars, \\xNN, unicode passthrough) is still covered by
+    the golden-output unit tests; the oracle certifies the UDF end-to-end
+    on real data."""
     p = payloads(spark, sf_dir)
     return p.select(
         "conn_id",

@@ -102,14 +102,40 @@ def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_distinct")  # rows-only: HLL estimate is engine-specific
+@query(
+    "agg_approx_distinct",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact_users,
+           TRUE AS approx_within_5pct
+    FROM events GROUP BY event_type
+    """,
+)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++): the 100 TB path for distinct
-    users — mergeable sketch, no giant exact-distinct shuffle. Checked
-    rows-only; tests assert the estimate is within 5% of exact."""
+    users — mergeable sketch, no giant exact-distinct shuffle.
+
+    Promoted from rows-only to hash-exact in r6 (VERDICT item 7): the HLL
+    estimate itself is engine-specific, so the checked output carries the
+    exact distinct count plus the ±5% ACCURACY BOUND AS A COLUMN —
+    `approx_within_5pct` is computed in Spark from both aggregates in one
+    groupBy and the oracle asserts it TRUE for every group, making the
+    bound a SQL-checked invariant instead of a pytest-only one.
+    Production use reads the estimate directly; this query is the
+    operator plus its proof obligation."""
     e = table(spark, sf_dir, "events")
-    return e.groupBy("event_type").agg(
+    agg = e.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.count_distinct("user_id").alias("n_exact_users"),
+    )
+    return agg.select(
+        "event_type",
+        "n_exact_users",
+        (
+            F.abs(F.col("approx_users") - F.col("n_exact_users"))
+            / F.col("n_exact_users")
+            <= 0.05
+        ).alias("approx_within_5pct"),
     )
 
 

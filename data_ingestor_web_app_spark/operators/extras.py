@@ -544,23 +544,58 @@ def win_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_quantile")  # rows-only: t-digest estimates are engine-specific
+@query(
+    "agg_approx_quantile",
+    oracle="""
+    SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+           TRUE AS p50_rank_ok, TRUE AS p90_rank_ok, TRUE AS p99_rank_ok
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
 def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate quantiles via percentile_approx (Greenwald-Khanna-style
     mergeable summaries): p50/p90/p99 of order totals per order status.
     The sketch is a fixed-size mergeable state — at 100 TB the shuffle
     carries one summary per (group, task), never the values; the exact
     percentile twin (agg_percentile) needs the full value multiset per
-    group. Accuracy vs exact is asserted in pytest (<=1% rank error at
-    accuracy=10000), the same verification pattern as agg_approx_distinct
-    and agg_hll_sketch."""
+    group.
+
+    Promoted from rows-only to hash-exact in r6 (VERDICT item 7): the
+    estimates themselves are engine-specific, so the checked output
+    carries each estimate's RANK-ERROR BOUND AS A COLUMN — a second scan
+    counts rows <= the returned value per group (broadcast join of the
+    3-row estimate frame) and asserts the empirical rank is within ±2% of
+    the target (GK at accuracy=10000 guarantees 1e-4·n; 2% covers
+    tie-induced slack). The oracle asserts all three bounds TRUE per
+    group — the accuracy contract is now SQL-checked, not pytest-only."""
     o = table(spark, sf_dir, "orders")
     acc = F.lit(10000)
-    return o.groupBy("o_orderstatus").agg(
+    ap = o.groupBy("o_orderstatus").agg(
         F.percentile_approx("o_totalprice", F.lit(0.5), acc).alias("p50"),
         F.percentile_approx("o_totalprice", F.lit(0.9), acc).alias("p90"),
         F.percentile_approx("o_totalprice", F.lit(0.99), acc).alias("p99"),
         F.count("*").alias("n"),
+    )
+    ranked = (
+        o.join(F.broadcast(ap), "o_orderstatus")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.first("n").alias("n"),
+            *[
+                F.avg((F.col("o_totalprice") <= F.col(c)).cast("double")).alias(
+                    f"r{c}"
+                )
+                for c in ("p50", "p90", "p99")
+            ],
+        )
+    )
+    tol = 0.02
+    return ranked.select(
+        "o_orderstatus",
+        "n",
+        (F.abs(F.col("rp50") - 0.5) <= tol).alias("p50_rank_ok"),
+        (F.abs(F.col("rp90") - 0.9) <= tol).alias("p90_rank_ok"),
+        (F.abs(F.col("rp99") - 0.99) <= tol).alias("p99_rank_ok"),
     )
 
 

@@ -247,6 +247,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave157",
     "data_ingestor_web_app_spark.operators.wave158",
     "data_ingestor_web_app_spark.llm.wave159",
+    "data_ingestor_web_app_spark.operators.wave160",
 ]
 
 

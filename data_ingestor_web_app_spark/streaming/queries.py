@@ -188,7 +188,16 @@ def _watermark_late_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("stream_watermark_late")  # rows-only: drop semantics are engine-specific
+@query(
+    "stream_watermark_late",
+    oracle="""
+    SELECT STRFTIME(DATE_TRUNC('day', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events
+    WHERE ts < TIMESTAMP '2024-01-25 00:00:00'
+    GROUP BY 1
+    """,
+)
 def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Late-data drop under a watermark, demonstrated deterministically:
     the replay is [first 25 days] → [sentinel far in the future] →
@@ -199,9 +208,14 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     actually evicts+emits every real window; the late file then arrives
     after eviction and its rows are dropped. The test asserts the
     numRowsDroppedByWatermark progress metric equals the late-file row
-    count exactly, so a Spark version change in watermark propagation fails
-    loudly instead of silently altering semantics. Append mode emits only
-    finalized windows, so the result is exactly the early-file windows."""
+    count exactly.
+
+    Promoted from rows-only to hash-exact in r6 (VERDICT item 7): the
+    engineered replay makes the drop set fully deterministic — append mode
+    emits exactly the early-file daily windows, whose batch twin is one
+    filtered GROUP BY. If a Spark version ever changes watermark
+    propagation (e.g. loses the one-batch planning lag), the value hash —
+    not just the progress-metric pytest — fails loudly."""
     agg = _watermark_late_plan(spark, sf_dir)
     out = runtime.run_to_memory(agg, "append")
     # the sentinel's own window is never finalized (stream ends first); the
