@@ -249,6 +249,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.llm.wave159",
     "data_ingestor_web_app_spark.operators.wave160",
     "data_ingestor_web_app_spark.operators.wave161",
+    "data_ingestor_web_app_spark.operators.wave162",
 ]
 
 
