@@ -250,6 +250,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave160",
     "data_ingestor_web_app_spark.operators.wave161",
     "data_ingestor_web_app_spark.operators.wave162",
+    "data_ingestor_web_app_spark.operators.wave163",
 ]
 
 
