@@ -87,6 +87,8 @@ HEADLINE = [
     "model_ndcg_retrieval",
     "events_rate_limit",
     "sim_ann_multiprobe",
+    # round 6: the hash-exact flagship LSH variant (md5 Carter-Wegman family)
+    "dedup_minhash_lsh_exact",
 ]
 
 
