@@ -252,6 +252,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave162",
     "data_ingestor_web_app_spark.operators.wave163",
     "data_ingestor_web_app_spark.operators.wave164",
+    "data_ingestor_web_app_spark.operators.wave165",
 ]
 
 
