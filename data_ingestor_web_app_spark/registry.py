@@ -253,6 +253,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave163",
     "data_ingestor_web_app_spark.operators.wave164",
     "data_ingestor_web_app_spark.operators.wave165",
+    "data_ingestor_web_app_spark.operators.wave166",
 ]
 
 
