@@ -254,6 +254,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave164",
     "data_ingestor_web_app_spark.operators.wave165",
     "data_ingestor_web_app_spark.operators.wave166",
+    "data_ingestor_web_app_spark.llm.wave167",
 ]
 
 
