@@ -357,3 +357,40 @@ def test_rate_limit_is_single_pass_mapinpandas(spark, sf_small):
     p = plan(spark, "events_rate_limit", sf_small)
     assert "MapInPandas" in p
     assert "FlatMapGroupsInPandas" not in p
+
+
+def test_round6_sketch_ops_plan_shapes(spark, sf_small):
+    # KMV: the per-group top-K window must carry the rank-limit pushdown so
+    # the shuffle moves K rows per (group, partition), not the whole key set
+    p = plan(spark, "agg_kmv_distinct", sf_small)
+    assert "WindowGroupLimit" in p
+    # Bloom: the bit set is tiny and must broadcast; the probe side never
+    # shuffles for the membership join
+    p = plan(spark, "agg_bloom_membership", sf_small)
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_round6_link_prediction_no_cartesian(spark, sf_small):
+    # wedge enumeration is an equi-join through the middle node; the
+    # existing-edge subtraction is an anti join — never an all-pairs product
+    for name in ["graph_common_neighbors", "graph_adamic_adar", "graph_jaccard_links"]:
+        p = plan(spark, name, sf_small)
+        assert "CartesianProduct" not in p, name
+        # global top-25 must ride the distributed heap
+        assert "TakeOrderedAndProject" in p, name
+
+
+def test_round6_minhash_exact_band_join_is_equijoin(spark, sf_small):
+    # the band-bucket candidate join must be hash/sort-merge on (band, sig),
+    # never a nested-loop over representatives
+    p = plan(spark, "dedup_minhash_lsh_exact", sf_small)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_round6_quantile_normalization_interp_is_equijoin(spark, sf_small):
+    # pooled-order-statistic interpolation joins on the floor index — an
+    # equi-join, not a range/cross join
+    p = plan(spark, "model_quantile_normalization", sf_small)
+    assert "CartesianProduct" not in p
