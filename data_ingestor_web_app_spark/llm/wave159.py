@@ -102,15 +102,16 @@ _B_SQL = "array(" + ",".join(f"{b}L" for b in _B) + ")"
 # DECIMAL(38) multiply-mod probes on the shared 60-bit digest.
 _MINHASH_FOLD = f"""
     aggregate(
-      toks,
+      transform(toks,
+                t -> CAST(conv(substring(md5(t), 1, 15), 16, 10)
+                          AS DECIMAL(38, 0))),
       array_repeat(cast({_P} as bigint), {_N_HASHES}),
-      (acc, t) -> zip_with(
+      (acc, x) -> zip_with(
           acc,
           transform(sequence(0, {_N_HASHES - 1}),
                     s -> CAST(pmod(
                            CAST(element_at({_A_SQL}, s + 1) AS DECIMAL(38, 0))
-                             * CAST(conv(substring(md5(t), 1, 15), 16, 10)
-                                    AS DECIMAL(38, 0))
+                             * x
                              + element_at({_B_SQL}, s + 1),
                            {_P}) AS BIGINT)),
           (a, h) -> least(a, h))
