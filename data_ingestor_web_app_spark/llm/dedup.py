@@ -371,23 +371,60 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cross.unionAll(within)
 
 
-@query("dedup_simhash")  # rows-only: xxhash64 bit arithmetic has no DuckDB twin
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash document fingerprints: per-token 64-bit hash, sign-sum each
-    bit over the token set, fingerprint = the 64 sign bits. Near-dups have
-    hamming-close fingerprints; here we emit (doc_id, simhash, band16) where
-    band16 buckets the top 16 bits — banding on fingerprint prefixes is the
-    scalable hamming-join strategy.
+_SIMHASH_ORACLE = """
+    WITH toks AS (
+        SELECT doc_id, UNNEST(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS tok
+        FROM documents
+    ),
+    h AS (
+        SELECT doc_id,
+               CAST(CONCAT('0x', SUBSTR(MD5(tok), 1, 15)) AS BIGINT) AS h
+        FROM toks
+    ),
+    bits AS (
+        SELECT doc_id, b.bit,
+               ((h >> b.bit) & 1) * 2 - 1 AS contrib
+        FROM h CROSS JOIN (SELECT UNNEST(RANGE(60)) AS bit) b
+    ),
+    bitsums AS (
+        SELECT doc_id, bit, SUM(contrib) AS s FROM bits GROUP BY doc_id, bit
+    ),
+    fp AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit)
+                        ELSE 0 END) AS BIGINT) AS simhash
+        FROM bitsums GROUP BY doc_id
+    )
+    SELECT doc_id, simhash,
+           CAST(simhash >> 45 AS BIGINT) AS band15
+    FROM fp
+    """
 
-    Pure DataFrame bit arithmetic (shiftright/bitwise AND, explode over bit
-    positions) — no UDF."""
+
+@query("dedup_simhash", oracle=_SIMHASH_ORACLE)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash document fingerprints (Charikar 2002, public): per-token
+    hash, sign-sum each bit over the token set, fingerprint = the sign
+    bits. Near-dups have hamming-close fingerprints; emits (doc_id,
+    simhash, band15) where band15 buckets the top bits — banding on
+    fingerprint prefixes is the scalable hamming-join strategy.
+
+    Promoted from rows-only to hash-exact in r6: the per-token hash is
+    the shared md5-derived 60-bit digest (the wave-159 family; this
+    DuckDB build has no xxhash64), so fingerprints are 60-bit and both
+    engines compute identical sign-sums — pure integer bit arithmetic
+    end to end, no UDF. 60 vs 64 bits costs ~6% hamming resolution and
+    buys a bit-for-bit SQL twin."""
     d = table(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok"))
-    h = toks.select("doc_id", F.xxhash64("tok").alias("h"))
+    h = toks.select(
+        "doc_id",
+        F.expr("CAST(conv(substring(md5(tok), 1, 15), 16, 10) AS BIGINT)").alias("h"),
+    )
     # one row per (doc, bit): contribution +1 if bit set else -1
     bits = h.select(
         "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("bit"),
+        F.explode(F.sequence(F.lit(0), F.lit(59))).alias("bit"),
         "h",
     ).select(
         "doc_id",
@@ -403,5 +440,5 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fp.select(
         "doc_id",
         "simhash",
-        F.shiftright(F.col("simhash"), 48).alias("band16"),
+        F.shiftright(F.col("simhash"), 45).alias("band15"),
     )

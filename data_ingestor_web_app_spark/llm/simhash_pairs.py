@@ -2,7 +2,7 @@
 
 dedup_simhash (llm/dedup.py) emits fingerprints and notes that "banding
 on fingerprint prefixes is the scalable hamming-join strategy"; this
-operator EXECUTES that strategy end-to-end: 4 disjoint 16-bit bands, a
+operator EXECUTES that strategy end-to-end: 4 disjoint 15-bit bands, a
 per-band bucket join (pigeonhole: hamming ≤ 3 forces agreement on at
 least one whole band), exact popcount verification on candidates, and
 first-matching-band dedup so no shuffle-distinct is needed.
@@ -20,21 +20,49 @@ _HAM_MAX = 3  # pairs within this hamming distance; 4 bands cover it exactly
 
 
 def _fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Reuse dedup_simhash's exact fingerprint computation (same xxhash64
-    sign-sum — llm/dedup.py:296), keeping the two operators bit-compatible."""
+    """Reuse dedup_simhash's exact fingerprint computation (same md5-digest
+    sign-sum — llm/dedup.py), keeping the two operators bit-compatible."""
     from data_ingestor_web_app_spark.llm.dedup import dedup_simhash
 
     return dedup_simhash(spark, sf_dir).select("doc_id", "simhash")
 
 
-@query("dedup_simhash_pairs")  # rows-only: xxhash64 bit arithmetic has no SQL twin
+from data_ingestor_web_app_spark.llm.dedup import _SIMHASH_ORACLE as _FP_ORACLE
+
+_PAIRS_ORACLE = f"""
+    WITH fp AS ({_FP_ORACLE}),
+    br AS (
+        SELECT doc_id, simhash, b.band,
+               (simhash >> (b.band * 15)) & 32767 AS val
+        FROM fp CROSS JOIN (SELECT UNNEST(RANGE(4)) AS band) b
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.simhash AS sa, b.simhash AS sb
+        FROM br a JOIN br b
+          ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+    FROM cand WHERE bit_count(xor(sa, sb)) <= {_HAM_MAX}
+    """
+
+
+@query("dedup_simhash_pairs", oracle=_PAIRS_ORACLE)
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance ≤ 3, via band-bucket
-    join: each fingerprint splits into four 16-bit bands; a pair closer
-    than 4 bit-flips MUST match on some whole band (pigeonhole), so only
-    band-equal doc pairs are ever generated, then verified exactly with
-    bit_count(xor). A pair is emitted only from its FIRST matching band —
-    a pure filter on the two band vectors, so no distinct shuffle.
+    join: each 60-bit fingerprint splits into four 15-bit bands; a pair
+    closer than 4 bit-flips MUST match on some whole band (pigeonhole),
+    so only band-equal doc pairs are ever generated, then verified
+    exactly with bit_count(xor). A pair is emitted only from its FIRST
+    matching band — a pure filter on the two band vectors, so no
+    distinct shuffle.
+
+    Promoted from rows-only to hash-exact in r6 alongside dedup_simhash:
+    the md5-digest fingerprints replay in DuckDB, so the whole
+    band-join + popcount pipeline is oracle-verified (the oracle uses a
+    DISTINCT where the Spark side uses the cheaper first-band filter —
+    same pair set by construction).
 
     Scale shape: the index is 4 rows per document keyed by (band_idx,
     band_value) — candidate volume is bucket-collision-bound, identical
@@ -47,7 +75,7 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "simhash",
         F.expr(
-            "transform(sequence(0, 3), i -> shiftright(simhash, i * 16) & 65535)"
+            "transform(sequence(0, 3), i -> shiftright(simhash, i * 15) & 32767)"
         ).alias("bv"),
     )
     br = bands.select(

@@ -319,28 +319,58 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_hll_sketch")  # rows-only: sketch estimates are engine-specific
+@query(
+    "agg_hll_sketch",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS approx_within_5pct
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT '__all__' AS event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS approx_within_5pct
+    FROM events
+    """,
+)
 def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable HLL sketches (Apache DataSketches, built into Spark 4):
     per-group hll_sketch_agg, then hll_union_agg across groups — the
-    100 TB distinct-count pattern, where per-partition/per-day sketches are
-    unioned instead of re-scanning raw data. Tests assert the union
-    estimate is within 5% of the exact distinct."""
+    100 TB distinct-count pattern, where per-partition/per-day sketches
+    are unioned instead of re-scanning raw data.
+
+    Promoted from rows-only to hash-exact in r6 (the agg_approx_distinct
+    pattern): the DataSketches estimate bytes are engine-specific, so the
+    checked output carries the exact distinct counts plus the ±5%
+    ACCURACY BOUND AS A COLUMN for BOTH the per-group estimates and the
+    cross-group sketch UNION — the union bound is the part that actually
+    certifies mergeability, and the oracle asserts it TRUE."""
     e = table(spark, sf_dir, "events")
     per_type = e.groupBy("event_type").agg(
         F.hll_sketch_agg("user_id").alias("sk"),
-        F.countDistinct("user_id").alias("exact_users"),
+        F.count_distinct("user_id").alias("exact_users"),
     )
-    per_type_est = per_type.select(
-        "event_type",
-        F.hll_sketch_estimate("sk").alias("approx_users"),
-        "exact_users",
+    within = (
+        F.abs(F.hll_sketch_estimate("sk") - F.col("exact_users"))
+        / F.col("exact_users")
+        <= 0.05
     )
-    total = per_type.agg(
-        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
-        F.lit(None).cast("long").alias("exact_users"),
-    ).select(F.lit("__all__").alias("event_type"), "approx_users", "exact_users")
-    return per_type_est.unionByName(total)
+    per_type_audit = per_type.select(
+        "event_type", "exact_users", within.alias("approx_within_5pct")
+    )
+    global_exact = e.agg(F.count_distinct("user_id").alias("g"))
+    total = (
+        per_type.agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("union_est"))
+        .crossJoin(F.broadcast(global_exact))
+        .select(
+            F.lit("__all__").alias("event_type"),
+            F.col("g").cast("long").alias("exact_users"),
+            (
+                F.abs(F.col("union_est") - F.col("g")) / F.col("g") <= 0.05
+            ).alias("approx_within_5pct"),
+        )
+    )
+    return per_type_audit.unionByName(total)
 
 
 @query(

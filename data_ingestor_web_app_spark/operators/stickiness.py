@@ -71,15 +71,32 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_hll_union_rollup")  # rows-only: sketch estimates are engine-specific
+@query(
+    "agg_hll_union_rollup",
+    oracle="""
+    SELECT STRFTIME(CAST(ts AS DATE), '%Y-%m-%d') AS d,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_exact,
+           TRUE AS approx_within_5pct
+    FROM events GROUP BY 1
+    UNION ALL
+    SELECT 'ALL' AS d,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_exact,
+           TRUE AS approx_within_5pct
+    FROM events
+    """,
+)
 def agg_hll_union_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate distinct-user rollup from MERGEABLE HLL sketches: one
     sketch per day (hll_sketch_agg over raw events), then the month total
     by UNIONING THE DAY SKETCHES (hll_union_agg) — raw data is touched
     once, exactly like agg_bitmap_distinct, but state is a fixed ~1 KB
-    per day regardless of cardinality. Emits per-day estimates plus the
-    'ALL' union row; pytest bounds every estimate against the exact count
-    (HLL lgK=12 keeps relative error ~1.6%).
+    per day regardless of cardinality.
+
+    Promoted from rows-only to hash-exact in r6 (the agg_approx_distinct
+    pattern): sketch estimate bytes are engine-specific, so the checked
+    output carries the exact per-day/ALL distinct counts plus the ±5%
+    bound flag for each day estimate AND the month-level sketch UNION —
+    the union bound certifies mergeability, which is the point of the op.
 
     Scale: THE pattern for distinct-count dashboards at 100 TB — store
     day sketches in the metrics table; any date-range query unions a few
@@ -88,12 +105,30 @@ def agg_hll_union_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events").select(
         F.date_format("ts", "yyyy-MM-dd").alias("d"), "user_id"
     )
-    day = e.groupBy("d").agg(F.hll_sketch_agg("user_id").alias("sk"))
-    daily = day.select(
-        "d", F.hll_sketch_estimate("sk").alias("n_users_approx")
+    day = e.groupBy("d").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count_distinct("user_id").alias("n_users_exact"),
     )
-    total = day.agg(F.hll_union_agg("sk").alias("sk")).select(
-        F.lit("ALL").alias("d"), F.hll_sketch_estimate("sk").alias("n_users_approx")
+    daily = day.select(
+        "d",
+        "n_users_exact",
+        (
+            F.abs(F.hll_sketch_estimate("sk") - F.col("n_users_exact"))
+            / F.col("n_users_exact")
+            <= 0.05
+        ).alias("approx_within_5pct"),
+    )
+    g = e.agg(F.count_distinct("user_id").alias("g"))
+    total = (
+        day.agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("union_est"))
+        .crossJoin(F.broadcast(g))
+        .select(
+            F.lit("ALL").alias("d"),
+            F.col("g").cast("long").alias("n_users_exact"),
+            (
+                F.abs(F.col("union_est") - F.col("g")) / F.col("g") <= 0.05
+            ).alias("approx_within_5pct"),
+        )
     )
     return daily.unionByName(total)
 

