@@ -256,6 +256,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave166",
     "data_ingestor_web_app_spark.llm.wave167",
     "data_ingestor_web_app_spark.operators.wave168",
+    "data_ingestor_web_app_spark.llm.wave169",
 ]
 
 
