@@ -257,6 +257,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.llm.wave167",
     "data_ingestor_web_app_spark.operators.wave168",
     "data_ingestor_web_app_spark.llm.wave169",
+    "data_ingestor_web_app_spark.operators.wave170",
 ]
 
 

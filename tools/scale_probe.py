@@ -76,8 +76,8 @@ def replicate(spark, src_sf: str, mult: int) -> str:
 # (copied text/vectors are exact dups of each other) or vacuously copy
 # the tables as dims.
 LLM_PROBES = [
-    "dedup_exact", "dedup_minhash_lsh", "dedup_embedding",
-    "sim_knn_graph", "sim_ivf_topk", "text_gopher_rules",
+    "dedup_exact", "dedup_minhash_lsh", "dedup_minhash_lsh_exact",
+    "dedup_embedding", "sim_knn_graph", "sim_ivf_topk", "text_gopher_rules",
 ]
 
 
