@@ -258,6 +258,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave168",
     "data_ingestor_web_app_spark.llm.wave169",
     "data_ingestor_web_app_spark.operators.wave170",
+    "data_ingestor_web_app_spark.operators.wave171",
 ]
 
 
