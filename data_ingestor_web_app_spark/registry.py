@@ -259,6 +259,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.llm.wave169",
     "data_ingestor_web_app_spark.operators.wave170",
     "data_ingestor_web_app_spark.operators.wave171",
+    "data_ingestor_web_app_spark.operators.wave172",
 ]
 
 
