@@ -261,6 +261,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave171",
     "data_ingestor_web_app_spark.operators.wave172",
     "data_ingestor_web_app_spark.operators.wave173",
+    "data_ingestor_web_app_spark.operators.wave174",
 ]
 
 
