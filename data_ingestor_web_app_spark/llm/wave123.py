@@ -174,7 +174,11 @@ def dedup_substring_span(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.posexplode(
             F.expr(
-                "transform(sequence(1, n - 6), p -> "
+                # Spark sequence() is INCLUSIVE: p must stop at n-7 so every
+                # shingle has a full 8 tokens (DuckDB RANGE is exclusive; the
+                # old n-6 bound emitted a 7-token partial whose hash collided
+                # across docs at sf0.1)
+                "transform(sequence(1, n - 7), p -> "
                 "cast(conv(substr(md5(concat_ws(' ', slice(toks, p, 8))), 1, 8),"
                 " 16, 10) as bigint))"
             )

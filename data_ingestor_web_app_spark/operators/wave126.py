@@ -131,8 +131,8 @@ def text_query_likelihood_dirichlet(spark: SparkSession, sf_dir: str) -> DataFra
     "win_distribution_ranks",
     oracle="""
     SELECT c_custkey, c_nationkey,
-           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
-           ROUND(CUME_DIST() OVER w, 6) AS cume,
+           FLOOR(PERCENT_RANK() OVER w * 1e6 + 0.5) / 1e6 AS pct_rank,
+           FLOOR(CUME_DIST() OVER w * 1e6 + 0.5) / 1e6 AS cume,
            CAST(NTILE(4) OVER w AS BIGINT) AS quartile
     FROM customer
     WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
@@ -150,8 +150,12 @@ def win_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table(spark, sf_dir, "customer").select(
         "c_custkey",
         "c_nationkey",
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        # explicit half-up micro-quantization: rank ratios hit exact-dyadic
+        # halfway points (e.g. 41/640 = .0640625) where Spark's ROUND (half
+        # up) and DuckDB's (half even) disagree — FLOOR(x*1e6+0.5) is the
+        # same rounding rule in both engines
+        (F.floor(F.percent_rank().over(w) * 1e6 + 0.5) / 1e6).alias("pct_rank"),
+        (F.floor(F.cume_dist().over(w) * 1e6 + 0.5) / 1e6).alias("cume"),
         F.ntile(4).over(w).cast("long").alias("quartile"),
     )
 

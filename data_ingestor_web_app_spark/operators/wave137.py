@@ -36,14 +36,14 @@ _DAILY_XY = """
     pairs AS (SELECT k, x, ylag FROM lagged WHERE ylag IS NOT NULL),
     s AS (
         SELECT k, CAST(COUNT(*) AS BIGINT) AS n,
-               CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(ylag) AS BIGINT) AS sy,
-               CAST(SUM(x * x) AS BIGINT) AS qx,
-               CAST(SUM(ylag * ylag) AS BIGINT) AS qy,
-               CAST(SUM(x * ylag) AS BIGINT) AS sxy
+               SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(ylag AS HUGEINT)) AS sy,
+               SUM(CAST(x AS HUGEINT) * x) AS qx,
+               SUM(CAST(ylag AS HUGEINT) * ylag) AS qy,
+               SUM(CAST(x AS HUGEINT) * ylag) AS sxy
         FROM pairs GROUP BY k
     )
     SELECT CAST(k AS BIGINT) AS lag_days, n,
-           ROUND((n * sxy - sx * sy)
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
                  / SQRT(CAST(n * qx - sx * sx AS DOUBLE))
                  / SQRT(CAST(n * qy - sy * sy AS DOUBLE)), 6) AS ccf
     FROM s
@@ -85,18 +85,20 @@ def events_cross_correlation_lagged(spark: SparkSession, sf_dir: str) -> DataFra
         .groupBy("k")
         .agg(
             F.count("*").cast("long").alias("n"),
-            F.sum("x").cast("long").alias("sx"),
-            F.sum("ylag").cast("long").alias("sy"),
-            F.sum(F.col("x") * F.col("x")).cast("long").alias("qx"),
-            F.sum(F.col("ylag") * F.col("ylag")).cast("long").alias("qy"),
-            F.sum(F.col("x") * F.col("ylag")).cast("long").alias("sxy"),
+            F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+            F.sum(F.col("ylag").cast("decimal(38,0)")).alias("sy"),
+            F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("qx"),
+            # y ~ 1.5e9 at sf0.1: y^2 sums and sy^2 overflow BIGINT — the
+            # whole moment algebra runs in DECIMAL(38)/HUGEINT instead
+            F.sum(F.col("ylag").cast("decimal(38,0)") * F.col("ylag")).alias("qy"),
+            F.sum(F.col("x").cast("decimal(38,0)") * F.col("ylag")).alias("sxy"),
         )
     )
     return s.select(
         F.col("k").cast("long").alias("lag_days"),
         "n",
         F.round(
-            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
             / F.sqrt((F.col("n") * F.col("qx") - F.col("sx") * F.col("sx")).cast("double"))
             / F.sqrt((F.col("n") * F.col("qy") - F.col("sy") * F.col("sy")).cast("double")),
             6,
