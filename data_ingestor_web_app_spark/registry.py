@@ -265,6 +265,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.functions.wave175",
     "data_ingestor_web_app_spark.llm.wave176",
     "data_ingestor_web_app_spark.operators.wave177",
+    "data_ingestor_web_app_spark.operators.wave178",
 ]
 
 
