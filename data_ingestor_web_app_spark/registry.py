@@ -266,6 +266,8 @@ _MODULES = [
     "data_ingestor_web_app_spark.llm.wave176",
     "data_ingestor_web_app_spark.operators.wave177",
     "data_ingestor_web_app_spark.operators.wave178",
+    "data_ingestor_web_app_spark.llm.wave179",
+    "data_ingestor_web_app_spark.operators.wave180",
 ]
 
 
