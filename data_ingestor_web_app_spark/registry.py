@@ -268,6 +268,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave178",
     "data_ingestor_web_app_spark.llm.wave179",
     "data_ingestor_web_app_spark.operators.wave180",
+    "data_ingestor_web_app_spark.llm.wave181",
 ]
 
 
