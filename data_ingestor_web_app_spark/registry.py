@@ -269,6 +269,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.llm.wave179",
     "data_ingestor_web_app_spark.operators.wave180",
     "data_ingestor_web_app_spark.llm.wave181",
+    "data_ingestor_web_app_spark.llm.wave182",
 ]
 
 
