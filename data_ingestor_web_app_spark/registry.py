@@ -270,6 +270,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave180",
     "data_ingestor_web_app_spark.llm.wave181",
     "data_ingestor_web_app_spark.llm.wave182",
+    "data_ingestor_web_app_spark.llm.wave183",
 ]
 
 
