@@ -272,6 +272,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.llm.wave182",
     "data_ingestor_web_app_spark.llm.wave183",
     "data_ingestor_web_app_spark.operators.wave184",
+    "data_ingestor_web_app_spark.operators.wave185",
 ]
 
 
