@@ -274,6 +274,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave184",
     "data_ingestor_web_app_spark.operators.wave185",
     "data_ingestor_web_app_spark.operators.wave186",
+    "data_ingestor_web_app_spark.operators.wave187",
 ]
 
 
