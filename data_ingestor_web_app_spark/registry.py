@@ -275,6 +275,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave185",
     "data_ingestor_web_app_spark.operators.wave186",
     "data_ingestor_web_app_spark.operators.wave187",
+    "data_ingestor_web_app_spark.operators.wave188",
 ]
 
 
