@@ -89,6 +89,11 @@ HEADLINE = [
     "sim_ann_multiprobe",
     # round 6: the hash-exact flagship LSH variant (md5 Carter-Wegman family)
     "dedup_minhash_lsh_exact",
+    # round 6 late waves: the moment-contraction MMD (d^2-per-row linear
+    # scan over embeddings) and the binned JT trend test (cumulative-count
+    # formulation) — perf canaries for the exact-integer statistics family
+    "sim_mmd_poly",
+    "agg_jonckheere_terpstra",
 ]
 
 

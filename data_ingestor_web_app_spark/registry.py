@@ -277,6 +277,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave187",
     "data_ingestor_web_app_spark.operators.wave188",
     "data_ingestor_web_app_spark.operators.wave189",
+    "data_ingestor_web_app_spark.operators.wave190",
 ]
 
 
