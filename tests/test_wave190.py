@@ -51,15 +51,28 @@ def test_code_detect_flag_consistency(spark):
         assert 0.0 <= r["symbol_density"] < 0.5
 
 
-def test_ascii_ratio_language_ordering(spark):
+def test_ascii_ratio_excess_byte_semantics(spark):
     rows = {r["lang"]: r for r in QUERIES["text_ascii_ratio_by_lang"](spark, SF).collect()}
-    # CJK text must carry far more multi-byte mass than English
-    assert rows["zh"]["utf8_excess_bytes"] > rows["en"]["utf8_excess_bytes"]
-    assert rows["zh"]["ascii_byte_ratio"] < rows["en"]["ascii_byte_ratio"]
     for r in rows.values():
         assert 0.0 <= r["ascii_byte_ratio"] <= 1.0
         assert r["utf8_excess_bytes"] >= 0
-    # independent recompute for one language
-    docs = table(spark, SF, "documents").where("lang = 'zh'").select("text").collect()
-    excess = sum(len(r["text"].encode("utf-8")) - len(r["text"]) for r in docs)
-    assert rows["zh"]["utf8_excess_bytes"] == excess
+    # independent recompute per language (the synthetic fixture is
+    # ASCII-only for every lang label, so excess must be exactly 0 —
+    # which also proves the byte/char identity holds; a real zh corpus
+    # would show excess ≈ 2x chars)
+    for lang, row in rows.items():
+        docs = (
+            table(spark, SF, "documents")
+            .where(F"lang = '{lang}'")
+            .select("text")
+            .collect()
+        )
+        excess = sum(len(r["text"].encode("utf-8")) - len(r["text"]) for r in docs)
+        assert row["utf8_excess_bytes"] == excess
+        assert row["n_docs"] == len(docs)
+    # multi-byte detection sanity on a constructed frame
+    df = spark.createDataFrame([("汉字abc",), ("plain",)], ["text"])
+    got = df.selectExpr(
+        "octet_length(text) - length(text) AS excess"
+    ).collect()
+    assert sorted(g["excess"] for g in got) == [0, 4]  # 2 CJK chars x 2 extra bytes
