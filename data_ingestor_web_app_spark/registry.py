@@ -279,6 +279,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave189",
     "data_ingestor_web_app_spark.operators.wave190",
     "data_ingestor_web_app_spark.operators.wave191",
+    "data_ingestor_web_app_spark.operators.wave192",
 ]
 
 
