@@ -280,6 +280,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave190",
     "data_ingestor_web_app_spark.operators.wave191",
     "data_ingestor_web_app_spark.operators.wave192",
+    "data_ingestor_web_app_spark.operators.wave193",
 ]
 
 
