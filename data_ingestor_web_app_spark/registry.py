@@ -284,6 +284,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave194",
     "data_ingestor_web_app_spark.operators.wave195",
     "data_ingestor_web_app_spark.operators.wave196",
+    "data_ingestor_web_app_spark.operators.wave197",
 ]
 
 
