@@ -285,6 +285,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave195",
     "data_ingestor_web_app_spark.operators.wave196",
     "data_ingestor_web_app_spark.operators.wave197",
+    "data_ingestor_web_app_spark.operators.wave198",
 ]
 
 
