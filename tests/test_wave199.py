@@ -108,11 +108,16 @@ def test_networkdays_day_loop(spark):
     for r in rows[:300]:
         od = orders[r["l_orderkey"]]
         sd = od + timedelta(days=r["calendar_days"])
-        # brute force: weekdays in (order, ship]
+        # brute force: signed weekday count — weekdays in (order, ship]
+        # when ship >= order, minus weekdays in (ship, order] otherwise
+        # (the synthetic fixture has ship dates on both sides)
+        lo, hi = (od, sd) if od <= sd else (sd, od)
         bd = 0
-        d = od
-        while d < sd:
+        d = lo
+        while d < hi:
             d = d + timedelta(days=1)
             if d.isoweekday() <= 5:
                 bd += 1
+        if sd < od:
+            bd = -bd
         assert r["business_days"] == bd
