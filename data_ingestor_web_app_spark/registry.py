@@ -287,6 +287,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave197",
     "data_ingestor_web_app_spark.operators.wave198",
     "data_ingestor_web_app_spark.operators.wave199",
+    "data_ingestor_web_app_spark.operators.wave200",
 ]
 
 
