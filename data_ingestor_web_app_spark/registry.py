@@ -291,6 +291,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave201",
     "data_ingestor_web_app_spark.operators.wave202",
     "data_ingestor_web_app_spark.operators.wave203",
+    "data_ingestor_web_app_spark.operators.wave204",
 ]
 
 
