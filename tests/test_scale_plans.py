@@ -394,3 +394,66 @@ def test_round6_quantile_normalization_interp_is_equijoin(spark, sf_small):
     # equi-join, not a range/cross join
     p = plan(spark, "model_quantile_normalization", sf_small)
     assert "CartesianProduct" not in p
+
+
+def test_wave192_systematic_sampler_prefix_sum_is_sharded(spark, sf_small):
+    # the two-phase prefix sum must never run a global single-partition
+    # window over the doc frame: every Window sorts within the bucket
+    # hash partitioning or over the bounded 32-row offsets frame
+    p = plan(spark, "sample_weighted_systematic", sf_small)
+    assert "CartesianProduct" not in p
+    # the bucket-partitioned window exists...
+    assert "Window" in p
+    # ...and the only Exchange feeding a window is hash (bucket) or the
+    # bounded offsets single partition — no rangepartitioning over docs
+    assert "rangepartitioning(doc_id" not in p.lower()
+
+
+def test_wave194_silhouette_broadcasts_centroids(spark, sf_small):
+    # per-point scoring joins a broadcast k*dim centroid table; the fact
+    # table must never shuffle-join against itself
+    p = plan(spark, "sim_silhouette_simplified", sf_small)
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_wave195_hopkins_probes_are_broadcast(spark, sf_small):
+    # 2*M probes broadcast against the corpus: the NN scans must be
+    # broadcast nested-loop (tiny side) or hash joins, never a shuffle
+    # of corpus x corpus
+    p = plan(spark, "sim_hopkins", sf_small)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_wave199_dupngram_windows_partition_by_doc(spark, sf_small):
+    # every window in the span-union pass partitions by doc_id — a
+    # global-ordered window here would serialize the corpus
+    p = plan(spark, "pipeline_dupngram_char_coverage", sf_small)
+    assert "Window" in p
+    import re
+
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", p.lower()):
+        assert "doc_id" in m.group(1), m.group(0)
+
+
+def test_wave200_lof_pairs_are_label_bucketed(spark, sf_small):
+    # the LOF pair join must key on the label bucket (hash join),
+    # never a cartesian corpus self-join
+    p = plan(spark, "sim_lof_bucketed", sf_small)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_wave196_target_encode_broadcasts_category_stats(spark, sf_small):
+    p = plan(spark, "pipeline_target_encode", sf_small)
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_wave196_lag_features_windows_partition_by_user(spark, sf_small):
+    p = plan(spark, "pipeline_lag_features", sf_small)
+    import re
+
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", p.lower()):
+        assert "user_id" in m.group(1), m.group(0)
