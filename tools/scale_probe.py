@@ -78,6 +78,14 @@ def replicate(spark, src_sf: str, mult: int) -> str:
 LLM_PROBES = [
     "dedup_exact", "dedup_minhash_lsh", "dedup_minhash_lsh_exact",
     "dedup_embedding", "sim_knn_graph", "sim_ivf_topk", "text_gopher_rules",
+    # round-6 session additions: doc-partitioned span union (linear),
+    # cell-local LOF (sum of cell^2 — cells multiply, cell size constant
+    # under the synth => linear), contingency-table validity (linear scan
+    # + k^2 tail). sim_silhouette_simplified is EXCLUDED: the synth grows
+    # the label count ×mult, so its n*k centroid scan is mult^2 by
+    # construction — a synth artifact, not a plan property.
+    "pipeline_dupngram_char_coverage", "sim_lof_bucketed",
+    "sim_cluster_validity",
 ]
 
 
