@@ -293,6 +293,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave203",
     "data_ingestor_web_app_spark.operators.wave204",
     "data_ingestor_web_app_spark.operators.wave205",
+    "data_ingestor_web_app_spark.operators.wave206",
 ]
 
 
