@@ -294,6 +294,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave204",
     "data_ingestor_web_app_spark.operators.wave205",
     "data_ingestor_web_app_spark.operators.wave206",
+    "data_ingestor_web_app_spark.operators.wave207",
 ]
 
 
