@@ -295,6 +295,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave205",
     "data_ingestor_web_app_spark.operators.wave206",
     "data_ingestor_web_app_spark.operators.wave207",
+    "data_ingestor_web_app_spark.operators.wave208",
 ]
 
 
