@@ -297,6 +297,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave207",
     "data_ingestor_web_app_spark.operators.wave208",
     "data_ingestor_web_app_spark.operators.wave209",
+    "data_ingestor_web_app_spark.operators.wave210",
 ]
 
 
