@@ -300,6 +300,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave210",
     "data_ingestor_web_app_spark.operators.wave211",
     "data_ingestor_web_app_spark.operators.wave212",
+    "data_ingestor_web_app_spark.operators.wave213",
 ]
 
 
