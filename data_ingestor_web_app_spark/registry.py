@@ -302,6 +302,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave212",
     "data_ingestor_web_app_spark.operators.wave213",
     "data_ingestor_web_app_spark.operators.wave214",
+    "data_ingestor_web_app_spark.operators.wave215",
 ]
 
 
