@@ -303,6 +303,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave213",
     "data_ingestor_web_app_spark.operators.wave214",
     "data_ingestor_web_app_spark.operators.wave215",
+    "data_ingestor_web_app_spark.operators.wave216",
 ]
 
 
