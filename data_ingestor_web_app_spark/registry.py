@@ -304,6 +304,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave214",
     "data_ingestor_web_app_spark.operators.wave215",
     "data_ingestor_web_app_spark.operators.wave216",
+    "data_ingestor_web_app_spark.operators.wave217",
 ]
 
 
