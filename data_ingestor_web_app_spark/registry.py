@@ -307,6 +307,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave217",
     "data_ingestor_web_app_spark.operators.wave218",
     "data_ingestor_web_app_spark.operators.wave219",
+    "data_ingestor_web_app_spark.operators.wave220",
 ]
 
 
