@@ -308,6 +308,8 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave218",
     "data_ingestor_web_app_spark.operators.wave219",
     "data_ingestor_web_app_spark.operators.wave220",
+    "data_ingestor_web_app_spark.operators.wave221",
+    "data_ingestor_web_app_spark.operators.wave222",
 ]
 
 
