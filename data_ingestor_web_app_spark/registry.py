@@ -311,6 +311,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave221",
     "data_ingestor_web_app_spark.operators.wave222",
     "data_ingestor_web_app_spark.operators.wave223",
+    "data_ingestor_web_app_spark.operators.wave224",
 ]
 
 
