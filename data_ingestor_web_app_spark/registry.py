@@ -314,6 +314,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave224",
     "data_ingestor_web_app_spark.operators.wave225",
     "data_ingestor_web_app_spark.operators.wave226",
+    "data_ingestor_web_app_spark.operators.wave227",
 ]
 
 
