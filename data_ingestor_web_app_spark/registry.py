@@ -315,6 +315,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave225",
     "data_ingestor_web_app_spark.operators.wave226",
     "data_ingestor_web_app_spark.operators.wave227",
+    "data_ingestor_web_app_spark.operators.wave228",
 ]
 
 
