@@ -457,3 +457,43 @@ def test_wave196_lag_features_windows_partition_by_user(spark, sf_small):
 
     for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", p.lower()):
         assert "user_id" in m.group(1), m.group(0)
+
+
+def test_wave197_mips_probes_are_broadcast(spark, sf_small):
+    # MIPS probes scan the corpus via a broadcast probe table; the
+    # corpus must never shuffle-join against itself
+    p = plan(spark, "sim_mips_augmented", sf_small)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_wave206_item_cf_pairs_are_user_keyed(spark, sf_small):
+    # co-rating pairs come from a user-keyed equi self-join — a
+    # cartesian item x item product must never appear
+    p = plan(spark, "model_item_cf_cosine", sf_small)
+    assert "CartesianProduct" not in p
+
+
+def test_wave208_ppr_rounds_are_hash_joins(spark, sf_small):
+    # every push round joins mass to edges on the node id; the only
+    # nested-loop allowed is the 1-row seed scalar attach (BuildRight
+    # cross against a single-row frame), never a data-sized expansion
+    p = plan(spark, "graph_ppr_unrolled", sf_small)
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p or "BroadcastHashJoin" in p
+
+
+def test_wave216_shapley_is_token_keyed(spark, sf_small):
+    # ownership joins back on the token key (hash join); the only
+    # nested-loop is the 1-row vocab scalar attach
+    p = plan(spark, "pipeline_shapley_coverage", sf_small)
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p or "SortMergeJoin" in p
+
+
+def test_wave219_offpolicy_models_broadcast(spark, sf_small):
+    # propensity/best-action models are dim-sized and must broadcast
+    # back onto the logged scan
+    p = plan(spark, "events_offpolicy_ips", sf_small)
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
