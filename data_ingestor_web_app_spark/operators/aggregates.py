@@ -131,9 +131,12 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "event_type",
         "n_exact_users",
+        # greatest(n,1): a group whose user_id values are all NULL has
+        # exact-distinct 0; 0/0 would make the invariant column NULL and
+        # surface only as an opaque hash mismatch vs the oracle's TRUE
         (
             F.abs(F.col("approx_users") - F.col("n_exact_users"))
-            / F.col("n_exact_users")
+            / F.greatest(F.col("n_exact_users"), F.lit(1))
             <= 0.05
         ).alias("approx_within_5pct"),
     )

@@ -350,9 +350,11 @@ def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_agg("user_id").alias("sk"),
         F.count_distinct("user_id").alias("exact_users"),
     )
+    # greatest(n,1): an all-NULL group has exact-distinct 0; 0/0 would NULL
+    # the invariant column vs the oracle's hardcoded TRUE
     within = (
         F.abs(F.hll_sketch_estimate("sk") - F.col("exact_users"))
-        / F.col("exact_users")
+        / F.greatest(F.col("exact_users"), F.lit(1))
         <= 0.05
     )
     per_type_audit = per_type.select(
@@ -366,7 +368,9 @@ def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("__all__").alias("event_type"),
             F.col("g").cast("long").alias("exact_users"),
             (
-                F.abs(F.col("union_est") - F.col("g")) / F.col("g") <= 0.05
+                F.abs(F.col("union_est") - F.col("g"))
+                / F.greatest(F.col("g"), F.lit(1))
+                <= 0.05
             ).alias("approx_within_5pct"),
         )
     )

@@ -114,7 +114,7 @@ def agg_hll_union_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_users_exact",
         (
             F.abs(F.hll_sketch_estimate("sk") - F.col("n_users_exact"))
-            / F.col("n_users_exact")
+            / F.greatest(F.col("n_users_exact"), F.lit(1))
             <= 0.05
         ).alias("approx_within_5pct"),
     )
@@ -126,7 +126,9 @@ def agg_hll_union_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("ALL").alias("d"),
             F.col("g").cast("long").alias("n_users_exact"),
             (
-                F.abs(F.col("union_est") - F.col("g")) / F.col("g") <= 0.05
+                F.abs(F.col("union_est") - F.col("g"))
+                / F.greatest(F.col("g"), F.lit(1))
+                <= 0.05
             ).alias("approx_within_5pct"),
         )
     )

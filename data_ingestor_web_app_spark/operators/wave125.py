@@ -220,7 +220,8 @@ def fn_timezone_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT tok,
                CAST(COUNT(*) AS BIGINT) AS df,
                CAST(SUM(tf) AS BIGINT) AS total_tf,
-               (LIST(doc_id ORDER BY doc_id))[1:5] AS postings_head
+               ARRAY_TO_STRING((LIST(doc_id ORDER BY doc_id))[1:5], ',')
+                   AS postings_head
         FROM tf GROUP BY tok
         HAVING COUNT(*) BETWEEN 2 AND 400
     )
@@ -258,9 +259,13 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").cast("long").alias("df"),
             F.sum("tf").cast("long").alias("total_tf"),
-            F.slice(F.sort_array(F.collect_list("doc_id")), 1, 5).alias(
-                "postings_head"
-            ),
+            F.array_join(
+                F.transform(
+                    F.slice(F.sort_array(F.collect_list("doc_id")), 1, 5),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("postings_head"),
         )
         .where(F.col("df").between(2, 400))
     )

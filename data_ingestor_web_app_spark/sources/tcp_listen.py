@@ -31,6 +31,14 @@ Semantics mirrored from main.go:
 - per-record ack written back on the connection (main.go:316-317):
   "Data processed successfully\\nBytes: N\\nConnection ID: K\\n".
 
+Durability: with the ``journalDir`` option, records are fsync'd to a
+write-ahead journal BEFORE the ack is written (ack ⇒ durable), commit()
+persists the committed offset, and restart replays the un-committed tail
+from the journal — exactly-once delivery of acked records across a crash,
+which is the crash-proof version of the reference's drain-on-shutdown
+guarantee (main.go:259-262). Without it, records are driver-buffered:
+replayable within a run, at-most-once across restarts.
+
 Scale posture: a single listening socket is inherently one node — the
 reference's own design (318 LoC, one process). The SimpleDataSourceStream
 Reader runs in the driver's source process, which matches that topology;
@@ -42,6 +50,9 @@ protocol parity, not bulk throughput — SURVEY §2A R1.
 
 from __future__ import annotations
 
+import base64
+import json
+import os
 import socket
 import threading
 from concurrent.futures import ThreadPoolExecutor
@@ -56,8 +67,53 @@ SCHEMA = (
 )
 
 
+def _journal_paths(journal_dir: str) -> tuple[str, str]:
+    return (
+        os.path.join(journal_dir, "records.jsonl"),
+        os.path.join(journal_dir, "committed"),
+    )
+
+
+def _journal_load(journal_dir: str) -> tuple[dict[int, tuple], int]:
+    """Read the WAL: {absolute_idx: record}, committed offset (0 if none)."""
+    rec_path, com_path = _journal_paths(journal_dir)
+    committed = 0
+    if os.path.exists(com_path):
+        with open(com_path) as f:
+            committed = int(f.read().strip() or 0)
+    records: dict[int, tuple] = {}
+    if os.path.exists(rec_path):
+        with open(rec_path) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                try:
+                    d = json.loads(line)
+                except ValueError:
+                    continue  # torn tail write from a crash — drop it
+                payload = base64.b64decode(d["p"])
+                records[int(d["i"])] = (
+                    int(d["c"]),
+                    d["a"],
+                    payload,
+                    payload.decode("utf-8", errors="replace"),
+                    d["k"],
+                    int(d["t"]),
+                )
+    return records, committed
+
+
 class _Listener:
-    """The accept loop + worker pool + record buffer (main.go:199-318)."""
+    """The accept loop + worker pool + record buffer (main.go:199-318).
+
+    With ``journal_dir`` set, every record is appended to a write-ahead
+    journal (fsync'd BEFORE the client's ack is written), and commit()
+    persists the committed offset — so a restarted listener resumes with
+    every acked-but-uncommitted record intact and its connection ordinal
+    continuing monotonically (main.go:259-262 drain guarantee, made
+    crash-proof). Single-writer by construction: one listener per journal
+    dir, the same topology as the reference daemon under systemd."""
 
     def __init__(
         self,
@@ -66,6 +122,7 @@ class _Listener:
         max_connections: int,
         max_workers: int,
         read_timeout_sec: float,
+        journal_dir: str | None = None,
     ):
         self.host = host
         self.port = port
@@ -75,12 +132,52 @@ class _Listener:
         self._records: list[tuple] = []  # absolute-indexed via _base
         self._base = 0
         self._conn_ordinal = 0
+        self._journal_dir = journal_dir
+        self._journal_f = None
+        if journal_dir:
+            os.makedirs(journal_dir, exist_ok=True)
+            loaded, committed = _journal_load(journal_dir)
+            if loaded:
+                # resume: memory = journal beyond the committed offset;
+                # ordinals continue after the largest journaled conn_id
+                top = max(loaded)
+                self._base = committed
+                self._records = [
+                    loaded[i] for i in range(committed, top + 1) if i in loaded
+                ]
+                self._conn_ordinal = max(r[0] for r in loaded.values())
+            # compact: rewrite the journal to only the uncommitted tail so
+            # it cannot grow without bound across restarts (in-session it is
+            # append-only; rotation beyond that is the retention ops' job)
+            rec_path, _ = _journal_paths(journal_dir)
+            tmp = rec_path + ".tmp"
+            with open(tmp, "w") as f:
+                for i in sorted(k for k in loaded if k >= committed):
+                    f.write(self._journal_line(i, loaded[i]))
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, rec_path)
+            self._journal_f = open(rec_path, "a")  # noqa: SIM115 (long-lived WAL handle)
         self._slots = threading.Semaphore(max_connections)
         self._pool = ThreadPoolExecutor(max_workers=max_workers)
         self._stopped = threading.Event()
-        self._sock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
-        self._sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
-        self._sock.bind((host, port))
+        # Bind with a bounded retry: on crash-restart the previous runner
+        # process may still be tearing its listener down for a moment (the
+        # systemd restart analog — the new daemon waits for the port)
+        import time as _time
+
+        deadline = _time.time() + 20.0
+        while True:
+            self._sock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+            self._sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+            try:
+                self._sock.bind((host, port))
+                break
+            except OSError:
+                self._sock.close()
+                if _time.time() > deadline:
+                    raise
+                _time.sleep(0.3)
         self._sock.listen(128)
         self._accept_thread = threading.Thread(target=self._accept_loop, daemon=True)
         self._accept_thread.start()
@@ -89,6 +186,22 @@ class _Listener:
         import time
 
         return int(time.time() * 1000)
+
+    @staticmethod
+    def _journal_line(idx: int, rec: tuple) -> str:
+        return (
+            json.dumps(
+                {
+                    "i": idx,
+                    "c": rec[0],
+                    "a": rec[1],
+                    "p": base64.b64encode(rec[2]).decode(),
+                    "k": rec[4],
+                    "t": rec[5],
+                }
+            )
+            + "\n"
+        )
 
     def _append(self, conn_id: int, client_ip: str, payload: bytes, kind: str) -> None:
         rec = (
@@ -100,6 +213,13 @@ class _Listener:
             self._now_ms(),
         )
         with self._lock:
+            if self._journal_f is not None:
+                # WAL-before-ack: the record is durable before the caller
+                # (e.g. _handle's ack write) can tell the client "processed"
+                idx = self._base + len(self._records)
+                self._journal_f.write(self._journal_line(idx, rec))
+                self._journal_f.flush()
+                os.fsync(self._journal_f.fileno())
             self._records.append(rec)
 
     def _accept_loop(self) -> None:
@@ -165,6 +285,16 @@ class _Listener:
 
     def prune(self, end_idx: int) -> None:
         with self._lock:
+            if self._journal_dir:
+                # persist the committed offset FIRST (atomic rename), then
+                # drop memory — a crash between the two just re-prunes
+                _, com_path = _journal_paths(self._journal_dir)
+                tmp = com_path + ".tmp"
+                with open(tmp, "w") as f:
+                    f.write(str(end_idx))
+                    f.flush()
+                    os.fsync(f.fileno())
+                os.replace(tmp, com_path)
             keep = end_idx - self._base
             if keep > 0:
                 del self._records[:keep]
@@ -177,12 +307,32 @@ class _Listener:
         except OSError:
             pass
         self._pool.shutdown(wait=False)
+        with self._lock:
+            if self._journal_f is not None:
+                try:
+                    self._journal_f.close()
+                except OSError:
+                    pass
+                self._journal_f = None
 
 
 class TcpListenStreamReader(SimpleDataSourceStreamReader):
-    """Offsets are absolute record indexes; records stay buffered until
-    commit() so readBetweenOffsets() can replay a failed batch (the
-    at-least-once contract the simple-reader API requires)."""
+    """Offsets are absolute record indexes.
+
+    Delivery semantics are journal-dependent, stated exactly:
+
+    - WITHOUT ``journalDir``: within one run, records stay buffered until
+      commit() so the driver-side prefetch cache can replay a failed batch;
+      across a restart the buffer is gone and un-committed records are
+      LOST — at-most-once across restarts (a live accepted-socket source
+      has nowhere to re-read from by nature).
+    - WITH ``journalDir``: every record is fsync'd to a write-ahead journal
+      before the client's ack, and commit() persists the committed offset.
+      readBetweenOffsets() then replays any offset range straight from the
+      journal — including on pickled executor copies, which never bind the
+      port — so a kill-and-restart from checkpoint redelivers every acked
+      record exactly once (offset-ranged replay + Spark's idempotent file
+      sink), with connection ordinals continuing monotonically."""
 
     def __init__(self, options: dict):
         self._options = options
@@ -196,12 +346,14 @@ class TcpListenStreamReader(SimpleDataSourceStreamReader):
                 max_connections=int(self._options.get("maxconnections", 1000)),
                 max_workers=int(self._options.get("maxworkers", 100)),
                 read_timeout_sec=float(self._options.get("readtimeoutsec", 1.0)),
+                journal_dir=self._options.get("journaldir") or None,
             )
         return self._listener
 
     def initialOffset(self) -> dict:
-        self._ensure()
-        return {"idx": 0}
+        lst = self._ensure()
+        # journaled restart without a checkpoint: resume past pruned history
+        return {"idx": lst._base}
 
     def read(self, start: dict):
         rows, end_idx = self._ensure().drain(int(start["idx"]))
@@ -210,15 +362,20 @@ class TcpListenStreamReader(SimpleDataSourceStreamReader):
     def readBetweenOffsets(self, start: dict, end: dict):
         # Runs on EXECUTOR python workers over a pickled COPY of this reader
         # (the wrapper's data path when the driver's prefetch cache misses —
-        # notably every empty batch, where start == end). A copy must NEVER
-        # bind the port: the one live listener belongs to the driver-side
-        # runner process that calls initialOffset()/read(). With no listener
-        # there is nothing to replay — a live accepted-socket source is
-        # at-most-once across restarts by nature (documented in the module
-        # docstring); the prefetch cache serves all normal batches.
-        if self._listener is None:
-            return iter(())
-        return iter(self._listener.slice(int(start["idx"]), int(end["idx"])))
+        # notably every empty batch, and the post-restart replay of the last
+        # un-committed batch). A copy must NEVER bind the port: the one live
+        # listener belongs to the driver-side runner process that calls
+        # initialOffset()/read(). Journaled mode replays from the WAL file
+        # (shared filesystem, no socket); un-journaled mode has nothing to
+        # replay from — the documented at-most-once leg.
+        s, e = int(start["idx"]), int(end["idx"])
+        if self._listener is not None:
+            return iter(self._listener.slice(s, e))
+        jdir = self._options.get("journaldir")
+        if jdir and s < e:
+            loaded, _ = _journal_load(jdir)
+            return iter(loaded[i] for i in range(s, e) if i in loaded)
+        return iter(())
 
     def commit(self, end: dict) -> None:
         self._ensure().prune(int(end["idx"]))
@@ -230,7 +387,9 @@ class TcpListenStreamReader(SimpleDataSourceStreamReader):
 
 class TcpListenDataSource(DataSource):
     """format("tcplisten"); options: host, port, maxConnections, maxWorkers,
-    readTimeoutSec. Option keys arrive case-insensitively lowered."""
+    readTimeoutSec, journalDir (write-ahead journal enabling exactly-once
+    redelivery across restarts). Option keys arrive case-insensitively
+    lowered."""
 
     @classmethod
     def name(cls) -> str:
@@ -259,18 +418,22 @@ def tcp_listen_stream(
     max_connections: int = 1000,
     max_workers: int = 100,
     read_timeout_sec: float = 1.0,
+    journal_dir: str | None = None,
 ) -> DataFrame:
-    """The raw listen-mode stream: data + rejected + empty records."""
+    """The raw listen-mode stream: data + rejected + empty records.
+    Pass ``journal_dir`` for crash-proof exactly-once redelivery (WAL)."""
     register(spark)
-    return (
+    reader = (
         spark.readStream.format("tcplisten")
         .option("host", host)
         .option("port", str(port))
         .option("maxConnections", str(max_connections))
         .option("maxWorkers", str(max_workers))
         .option("readTimeoutSec", str(read_timeout_sec))
-        .load()
     )
+    if journal_dir:
+        reader = reader.option("journalDir", journal_dir)
+    return reader.load()
 
 
 def tcp_listen_logentry_stream(

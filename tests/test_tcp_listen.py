@@ -5,10 +5,13 @@ connections above the semaphore cap are closed unread (main.go:252-255)."""
 
 from __future__ import annotations
 
+import os
 import socket
 import time
 
+import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from data_ingestor_web_app_spark.sources.tcp_listen import (
     tcp_listen_logentry_stream,
@@ -199,3 +202,102 @@ def test_reject_above_cap_and_recovery(spark):
             except OSError:
                 pass
         q.stop()
+
+
+def _send_acked(port: int, payload: bytes) -> int:
+    """Send one payload nc-style, require the reference ack, return the
+    conn_id the server assigned (parsed from the ack text)."""
+    c = _dial(port)
+    try:
+        c.sendall(payload)
+        c.shutdown(socket.SHUT_WR)
+        c.settimeout(20)
+        ack = b""
+        while True:
+            chunk = c.recv(4096)
+            if not chunk:
+                break
+            ack += chunk
+    finally:
+        c.close()
+    text = ack.decode()
+    assert "Data processed successfully" in text, f"no ack for {payload!r}: {text!r}"
+    return int(text.rsplit("Connection ID: ", 1)[1].strip())
+
+
+def test_exactly_once_across_crash_restart(spark, tmp_path):
+    """Round-7 item 7 — the drain guarantee (main.go:259-262) made
+    crash-proof: a REAL mid-batch executor crash (poison pandas_udf, not a
+    graceful stop) kills the query after clients were acked; restart from
+    the same checkpoint replays the un-committed tail from the write-ahead
+    journal via readBetweenOffsets on a fresh (port-less) reader copy — the
+    exact path that is empty in un-journaled mode — and the parquet sink's
+    transaction log makes the redelivery exactly-once: every acked payload
+    appears once, no duplicates, conn_ids strictly monotone across epochs."""
+    port = _free_port()
+    jdir = str(tmp_path / "journal")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    marker = str(tmp_path / "poison_armed")
+    open(marker, "w").close()
+
+    @F.pandas_udf("string")
+    def checked(p: pd.Series) -> pd.Series:
+        import os as _os
+
+        if _os.path.exists(marker) and (p == "poison-me").any():
+            raise RuntimeError("injected executor crash")
+        return p
+
+    def start():
+        s = tcp_listen_stream(
+            spark, "127.0.0.1", port, journal_dir=jdir
+        ).select("conn_id", "payload_str", checked("payload_str").alias("checked"))
+        return (
+            s.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+
+    q = start()
+    try:
+        epoch1 = [_send_acked(port, f"epoch1-{i}".encode()) for i in range(5)]
+        poison_conn = _send_acked(port, b"poison-me")  # acked => journaled
+        # the poison batch must CRASH the query (not a graceful stop)
+        _wait(lambda: not q.isActive, deadline_sec=120, msg="query crash")
+        assert q.exception() is not None
+        assert "injected executor crash" in str(q.exception())
+    finally:
+        if q.isActive:
+            q.stop()
+
+    os.remove(marker)  # disarm
+    q2 = start()
+    try:
+        epoch2 = [_send_acked(port, f"epoch2-{i}".encode()) for i in range(5)]
+        expected = {f"epoch1-{i}" for i in range(5)} | {"poison-me"} | {
+            f"epoch2-{i}" for i in range(5)
+        }
+
+        def all_delivered():
+            try:
+                rows = spark.read.parquet(out).collect()
+            except Exception:
+                return None
+            return rows if {r["payload_str"] for r in rows} >= expected else None
+
+        rows = _wait(all_delivered, deadline_sec=120, msg="exactly-once redelivery")
+    finally:
+        q2.stop()
+
+    payloads = [r["payload_str"] for r in rows]
+    # no loss, no duplicates — every acked payload exactly once
+    assert sorted(payloads) == sorted(expected)
+    conn_ids = {r["payload_str"]: r["conn_id"] for r in rows}
+    assert len(set(conn_ids.values())) == len(conn_ids)
+    # ordinals survive the crash monotonically: epoch2 ids continue AFTER
+    # every pre-crash id (journal-recovered counter, main.go:219 parity)
+    assert min(epoch2) > max(epoch1 + [poison_conn])
+    assert conn_ids["poison-me"] == poison_conn

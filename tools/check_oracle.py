@@ -57,8 +57,18 @@ def canon(v):
         return v.isoformat()
     if isinstance(v, bytes):
         return v.hex()
-    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
-        return tuple(canon(x) for x in v)
+    if isinstance(v, (list, tuple, dict)) or type(v).__name__ == "ndarray":
+        # The DRIVER's pandas canonicalizer cannot sort/hash list cells
+        # (round-6 lesson: text_inverted_index errored driver-side with
+        # `unhashable type: 'list'` while this gate tuple-ized and passed
+        # it). Mirror the driver: complex-typed output is a hard error —
+        # serialize arrays/maps/structs to strings in BOTH the Spark query
+        # and the oracle SQL before registering.
+        raise TypeError(
+            f"complex-typed cell ({type(v).__name__}) — the driver's "
+            "canonicalizer cannot hash lists; serialize to a string in "
+            "both the Spark query and the oracle SQL"
+        )
     return v
 
 
@@ -164,7 +174,13 @@ def main():
             n_fail += 1
             failed.append(name)
             continue
-        problems, exact = compare(name, spdf, dpdf)
+        try:
+            problems, exact = compare(name, spdf, dpdf)
+        except TypeError as exc:
+            print(f"FAIL {name}: canonicalizer rejected output: {exc}")
+            n_fail += 1
+            failed.append(name)
+            continue
         if not problems:
             print(f"ok   {name}: {len(spdf)} rows exact [{time.time()-t0:.1f}s]")
             n_pass += 1

@@ -183,6 +183,12 @@ def replicate_skewed(spark, src_sf: str, mult: int, hot_pct: int = 20) -> tuple[
         .agg(F.max("o_orderkey"))
         .first()[0]
     )
+    if hot is None:
+        # tiny fixtures may have no order over the threshold — fall back to
+        # the global max key so the probe still concentrates a real hot key
+        # instead of silently writing NULL l_orderkey
+        hot = table(spark, src_sf, "orders").agg(F.max("o_orderkey")).first()[0]
+    assert hot is not None, "orders table is empty"
     stride = 10_000_000
     for name in TABLES:
         df = table(spark, src_sf, name)
