@@ -39,30 +39,55 @@ ORACLES: dict[str, str] = {}
 # New queries this round must be added to BACK-of-list modules (or new
 # modules appended after the window block) so they don't shift slots 1-50.
 _MODULES = [
-    # --- round-6 driver window: exactly 50 never-driver-checked queries
-    #     (waves 116-134, the graph/optimization/stats families VERDICT r5
-    #     flagged as the biggest never-sampled block; the three streaming
-    #     rows-only modules interleaved in that wave range are deliberately
-    #     left outside the window so all 50 slots are hash-exact-capable;
-    #     r5's window block pipeline_extra..wave115 is demoted below) ---
-    "data_ingestor_web_app_spark.operators.wave116",  # 3 (cum 3)
-    "data_ingestor_web_app_spark.operators.wave117",  # 3 (cum 6)
-    "data_ingestor_web_app_spark.operators.wave118",  # 3 (cum 9)
-    "data_ingestor_web_app_spark.operators.wave119",  # 3 (cum 12)
-    "data_ingestor_web_app_spark.operators.wave120",  # 3 (cum 15)
-    "data_ingestor_web_app_spark.operators.wave121",  # 3 (cum 18)
-    "data_ingestor_web_app_spark.operators.wave122",  # 2 (cum 20)
-    "data_ingestor_web_app_spark.llm.wave123",  # 3 (cum 23)
-    "data_ingestor_web_app_spark.operators.wave124",  # 2 (cum 25)
-    "data_ingestor_web_app_spark.operators.wave125",  # 3 (cum 28)
-    "data_ingestor_web_app_spark.operators.wave126",  # 3 (cum 31)
-    "data_ingestor_web_app_spark.operators.wave127",  # 1 (cum 32)
-    "data_ingestor_web_app_spark.operators.wave128",  # 3 (cum 35)
-    "data_ingestor_web_app_spark.operators.wave129",  # 3 (cum 38)
-    "data_ingestor_web_app_spark.operators.wave130",  # 3 (cum 41)
-    "data_ingestor_web_app_spark.operators.wave131",  # 3 (cum 44)
-    "data_ingestor_web_app_spark.operators.wave133",  # 3 (cum 47)
-    "data_ingestor_web_app_spark.operators.wave134",  # 3 (cum 50)
+    # --- round-7 driver window: exactly 50 never-driver-checked queries
+    #     (waves 135-157 + 159 — the inequality/series/cluster-validity
+    #     families VERDICT r6 flagged as the biggest never-sampled block;
+    #     sources.wave141 is excluded because one of its four queries is
+    #     declared rows-only and every window slot must be hash-exact-
+    #     capable, and wave158 is excluded to land on exactly 50;
+    #     r6's window block wave116..wave134 is demoted below) ---
+    "data_ingestor_web_app_spark.operators.wave135",  # 3 (cum 3)
+    "data_ingestor_web_app_spark.operators.wave136",  # 3 (cum 6)
+    "data_ingestor_web_app_spark.operators.wave137",  # 2 (cum 8)
+    "data_ingestor_web_app_spark.operators.wave138",  # 2 (cum 10)
+    "data_ingestor_web_app_spark.llm.wave139",  # 2 (cum 12)
+    "data_ingestor_web_app_spark.operators.wave140",  # 2 (cum 14)
+    "data_ingestor_web_app_spark.operators.wave142",  # 2 (cum 16)
+    "data_ingestor_web_app_spark.operators.wave143",  # 3 (cum 19)
+    "data_ingestor_web_app_spark.operators.wave144",  # 3 (cum 22)
+    "data_ingestor_web_app_spark.operators.wave145",  # 3 (cum 25)
+    "data_ingestor_web_app_spark.operators.wave146",  # 2 (cum 27)
+    "data_ingestor_web_app_spark.operators.wave147",  # 2 (cum 29)
+    "data_ingestor_web_app_spark.llm.wave148",  # 2 (cum 31)
+    "data_ingestor_web_app_spark.llm.wave149",  # 2 (cum 33)
+    "data_ingestor_web_app_spark.functions.wave150",  # 2 (cum 35)
+    "data_ingestor_web_app_spark.operators.wave151",  # 3 (cum 38)
+    "data_ingestor_web_app_spark.operators.wave152",  # 2 (cum 40)
+    "data_ingestor_web_app_spark.llm.wave153",  # 2 (cum 42)
+    "data_ingestor_web_app_spark.llm.wave154",  # 1 (cum 43)
+    "data_ingestor_web_app_spark.functions.wave155",  # 2 (cum 45)
+    "data_ingestor_web_app_spark.operators.wave156",  # 2 (cum 47)
+    "data_ingestor_web_app_spark.operators.wave157",  # 2 (cum 49)
+    "data_ingestor_web_app_spark.llm.wave159",  # 1 (cum 50)
+    # --- r6 window (waves 116-134, driver-checked in r6) demoted ---
+    "data_ingestor_web_app_spark.operators.wave116",
+    "data_ingestor_web_app_spark.operators.wave117",
+    "data_ingestor_web_app_spark.operators.wave118",
+    "data_ingestor_web_app_spark.operators.wave119",
+    "data_ingestor_web_app_spark.operators.wave120",
+    "data_ingestor_web_app_spark.operators.wave121",
+    "data_ingestor_web_app_spark.operators.wave122",
+    "data_ingestor_web_app_spark.llm.wave123",
+    "data_ingestor_web_app_spark.operators.wave124",
+    "data_ingestor_web_app_spark.operators.wave125",
+    "data_ingestor_web_app_spark.operators.wave126",
+    "data_ingestor_web_app_spark.operators.wave127",
+    "data_ingestor_web_app_spark.operators.wave128",
+    "data_ingestor_web_app_spark.operators.wave129",
+    "data_ingestor_web_app_spark.operators.wave130",
+    "data_ingestor_web_app_spark.operators.wave131",
+    "data_ingestor_web_app_spark.operators.wave133",
+    "data_ingestor_web_app_spark.operators.wave134",
     # --- everything below has either been driver-checked (r1-r5) or
     #     sits outside the 50-slot sample window ---
     "data_ingestor_web_app_spark.llm.pipeline_extra",
@@ -222,31 +247,8 @@ _MODULES = [
     "data_ingestor_web_app_spark.streaming.wave124",
     "data_ingestor_web_app_spark.streaming.wave127",
     "data_ingestor_web_app_spark.streaming.wave132",
-    "data_ingestor_web_app_spark.operators.wave135",
-    "data_ingestor_web_app_spark.operators.wave136",
-    "data_ingestor_web_app_spark.operators.wave137",
-    "data_ingestor_web_app_spark.operators.wave138",
-    "data_ingestor_web_app_spark.llm.wave139",
-    "data_ingestor_web_app_spark.operators.wave140",
     "data_ingestor_web_app_spark.sources.wave141",
-    "data_ingestor_web_app_spark.operators.wave142",
-    "data_ingestor_web_app_spark.operators.wave143",
-    "data_ingestor_web_app_spark.operators.wave144",
-    "data_ingestor_web_app_spark.operators.wave145",
-    "data_ingestor_web_app_spark.operators.wave146",
-    "data_ingestor_web_app_spark.operators.wave147",
-    "data_ingestor_web_app_spark.llm.wave148",
-    "data_ingestor_web_app_spark.llm.wave149",
-    "data_ingestor_web_app_spark.functions.wave150",
-    "data_ingestor_web_app_spark.operators.wave151",
-    "data_ingestor_web_app_spark.operators.wave152",
-    "data_ingestor_web_app_spark.llm.wave153",
-    "data_ingestor_web_app_spark.llm.wave154",
-    "data_ingestor_web_app_spark.functions.wave155",
-    "data_ingestor_web_app_spark.operators.wave156",
-    "data_ingestor_web_app_spark.operators.wave157",
     "data_ingestor_web_app_spark.operators.wave158",
-    "data_ingestor_web_app_spark.llm.wave159",
     "data_ingestor_web_app_spark.operators.wave160",
     "data_ingestor_web_app_spark.operators.wave161",
     "data_ingestor_web_app_spark.operators.wave162",
