@@ -204,14 +204,48 @@ def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("scan_sample")  # rows-only: sampling algorithms differ per engine
+@query(
+    "scan_sample",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+           TRUE AS fraction_within_5_sigma,
+           TRUE AS sample_is_subset
+    FROM lineitem
+    """,
+)
 def scan_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bernoulli sample with a fixed seed — deterministic within Spark
-    (same data, same partitioning) but not across engines, hence rows-only.
-    The scale story: sampling happens inside the scan (no materialization
-    of the unsampled stream)."""
+    """Bernoulli sample with a fixed seed, pushed inside the scan (no
+    materialization of the unsampled stream).
+
+    Promoted from rows-only to hash-exact in r7 (the agg_approx_distinct
+    pattern): WHICH rows a seeded engine sample keeps is engine-specific
+    (Spark's XORShift vs DuckDB's), so the checked output is the operator
+    plus its proof obligations — the sampled count sits within 5 binomial
+    sigmas of fraction·N, and the sample is a true subset of the scan
+    (anti-join residue 0). The row-level deterministic twin is
+    scan_sample_hash (keyed md5 threshold), which IS cross-engine
+    reproducible and row-hash-checked."""
     li = table(spark, sf_dir, "lineitem")
-    return li.sample(fraction=0.1, seed=42).select("l_orderkey", "l_linenumber")
+    samp = li.sample(fraction=0.1, seed=42).select("l_orderkey", "l_linenumber")
+    n_samp = samp.agg(F.count("*").alias("n_samp"))
+    not_subset = samp.join(
+        li.select("l_orderkey", "l_linenumber"),
+        ["l_orderkey", "l_linenumber"],
+        "left_anti",
+    ).agg(F.count("*").alias("n_outside"))
+    tot = li.agg(F.count("*").cast("long").alias("n_total"))
+    sigma = F.sqrt(F.col("n_total") * 0.1 * 0.9)
+    return (
+        tot.crossJoin(F.broadcast(n_samp))
+        .crossJoin(F.broadcast(not_subset))
+        .select(
+            "n_total",
+            (
+                F.abs(F.col("n_samp") - 0.1 * F.col("n_total")) <= 5 * sigma
+            ).alias("fraction_within_5_sigma"),
+            (F.col("n_outside") == 0).alias("sample_is_subset"),
+        )
+    )
 
 
 @query(
@@ -633,19 +667,77 @@ def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_countmin_sketch")  # rows-only: sketch bytes are engine-specific
+@query(
+    "agg_countmin_sketch",
+    oracle="""
+    WITH probe AS (
+        SELECT user_id FROM events WHERE user_id IS NOT NULL
+        GROUP BY user_id ORDER BY COUNT(*) DESC, user_id LIMIT 3
+    )
+    SELECT e.event_type, p.user_id,
+           CAST(SUM(CASE WHEN e.user_id = p.user_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_exact,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           TRUE AS within_eps_bound
+    FROM events e CROSS JOIN probe p
+    GROUP BY e.event_type, p.user_id
+    """,
+)
 def agg_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketches (Spark's built-in count_min_sketch agg): one
     mergeable frequency sketch of user_id per event_type, alongside exact
     row counts. The 100 TB heavy-hitter pattern — per-partition/per-day
     sketches merge in O(sketch) instead of re-scanning raw events; point
     lookups answer "how often did user X appear" with eps·N additive error.
-    tests/test_wave3.py deserializes the sketch (JVM CountMinSketch) and
-    asserts the estimate ≥ exact and within eps·N for sampled users."""
+
+    Promoted from rows-only to hash-exact in r7 (the agg_approx_distinct
+    pattern): sketch BYTES are engine-specific, so the checked output is
+    the operator plus its proof obligation — for the 3 globally hottest
+    users (deterministic tie-break), each sketch's point estimate must
+    satisfy exact <= est <= exact + eps·N. The estimates are read by
+    deserializing each group's sketch through the JVM CountMinSketch API
+    on the driver — bounded work (one ~KB sketch per event_type, never
+    row-scale), the same bounded-collect discipline as the k-center seeds.
+    tests/test_wave3.py keeps the independent 20-user-per-group bound
+    check against sketches it builds itself."""
     e = table(spark, sf_dir, "events")
-    return e.groupBy("event_type").agg(
-        F.count_min_sketch(
-            F.col("user_id"), F.lit(0.001), F.lit(0.99), F.lit(42)
-        ).alias("sketch"),
-        F.count("*").alias("n_events"),
+    sketches = (
+        e.groupBy("event_type")
+        .agg(
+            F.count_min_sketch(
+                F.col("user_id"), F.lit(0.001), F.lit(0.99), F.lit(42)
+            ).alias("sketch"),
+            F.count("*").alias("n_events"),
+        )
+        .collect()
+    )
+    probe = [
+        r.user_id
+        for r in e.where(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), "user_id")
+        .limit(3)
+        .collect()
+    ]
+    exact = {
+        (r.event_type, r.user_id): r.n
+        for r in e.where(F.col("user_id").isin(probe))
+        .groupBy("event_type", "user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    CMS = spark._jvm.org.apache.spark.util.sketch.CountMinSketch
+    out = []
+    for r in sketches:
+        sk = CMS.readFrom(bytes(r.sketch))
+        for uid in probe:
+            n_ex = int(exact.get((r.event_type, uid), 0))
+            est = int(sk.estimateCount(uid))
+            ok = n_ex <= est <= n_ex + 0.001 * r.n_events
+            out.append((r.event_type, uid, n_ex, int(r.n_events), bool(ok)))
+    return spark.createDataFrame(
+        out,
+        "event_type string, user_id bigint, n_exact bigint, "
+        "n_events bigint, within_eps_bound boolean",
     )

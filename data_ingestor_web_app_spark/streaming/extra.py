@@ -61,7 +61,13 @@ def stream_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return final.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= 2)
 
 
-@query("stream_incremental_minhash_dedup")  # rows-only: xxhash64 LSH has no DuckDB twin
+# The import is safe here because registry._MODULES loads llm.wave159 (front
+# window block) before this back-of-list module; it only REUSES the already-
+# registered module's constants, it does not re-register anything.
+from data_ingestor_web_app_spark.llm import wave159 as _w159
+
+
+@query("stream_incremental_minhash_dedup", oracle=_w159._ORACLE)
 def stream_incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming near-dup detection — the one LLM-pipeline op a 100 TB
     ingest runs CONTINUOUSLY: documents arrive in micro-batches, each batch
@@ -72,8 +78,19 @@ def stream_incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFr
     and token store grow append-only; the snapshot-read inside foreachBatch
     sees only fully-committed prior batches.
 
-    Equivalence contract (pinned in tests/test_streaming_extra.py): the
-    union of per-batch pair discoveries equals dedup_minhash_lsh's one-shot
+    Promoted from rows-only to hash-exact in r7 (VERDICT item 5): the band
+    hashes now come from wave-159's Carter-Wegman family over md5 token
+    digests (exact integer arithmetic in both engines), so the UNION of
+    per-batch pair discoveries is DuckDB-replayable — the oracle is the
+    one-shot exact-LSH pair set (llm/wave159.py), and per-doc banding finds
+    exactly the pairs the oracle's rep-collapse+expand finds because band
+    signatures depend only on the token SET. Production throughput corpora
+    keep the cheaper xxhash64 family via dedup_minhash_lsh; the structure
+    here (index join + internal self-join + append-only pairs log) is
+    family-agnostic.
+
+    Equivalence contract (pinned in tests/test_wave8.py): the union of
+    per-batch pair discoveries equals dedup_minhash_lsh_exact's one-shot
     batch output EXACTLY, regardless of how the feed was chunked — each
     pair (a, b) is discovered exactly once, in the batch where its later
     member arrives (cross-batch via the index join, same-batch via the
@@ -88,11 +105,7 @@ def stream_incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFr
     import os
     import tempfile
 
-    from data_ingestor_web_app_spark.llm.dedup import (
-        _N_BANDS,
-        _N_HASHES,
-        _minhash_signatures,
-    )
+    _N_BANDS, _N_HASHES = _w159._N_BANDS, _w159._N_HASHES
 
     d = (
         table(spark, sf_dir, "documents")
@@ -111,27 +124,30 @@ def stream_incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFr
     rows_per_band = _N_HASHES // _N_BANDS
 
     def band_rows(docs: DataFrame) -> DataFrame:
-        sig = _minhash_signatures(docs)
-        bands = sig.select(
+        # CW-family signature (wave159._MINHASH_FOLD over the token array);
+        # a band's bucket key is the ':'-joined minhash run — a plain string
+        # both engines compute bit-identically
+        sig = docs.select(
             "doc_id",
-            *[
-                F.xxhash64(
-                    *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
-                ).alias(f"band{b}")
-                for b in range(_N_BANDS)
-            ],
-        )
-        return bands.select(
+            F.array_distinct(F.split("text", " ")).alias("toks"),
+        ).select("doc_id", F.expr(_w159._MINHASH_FOLD).alias("mh"))
+        return sig.select(
             "doc_id",
-            F.explode(
+            F.posexplode(
                 F.array(
                     *[
-                        F.struct(F.lit(b).alias("band"), F.col(f"band{b}").alias("bucket"))
+                        F.concat_ws(
+                            ":",
+                            *[
+                                F.col("mh")[b * rows_per_band + r].cast("string")
+                                for r in range(rows_per_band)
+                            ],
+                        )
                         for b in range(_N_BANDS)
                     ]
                 )
-            ).alias("bb"),
-        ).select("doc_id", "bb.band", "bb.bucket")
+            ).alias("band", "bucket"),
+        )
 
     def verify_pairs(ss, cand: DataFrame, batch_toks: DataFrame) -> DataFrame:
         all_toks = batch_toks

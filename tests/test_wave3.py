@@ -186,10 +186,26 @@ def test_pack_greedy_never_overflows_budget(spark, sf_small):
 
 
 def test_countmin_sketch_estimates_within_bound(spark, sf_small):
+    """Independent CMS bound check: build the sketches directly (the query
+    itself now emits the probe-based proof columns instead of raw bytes —
+    r7 rows-only promotion) and verify 20 users per group."""
     import pyspark.sql.functions as F
 
-    rows = QUERIES["agg_countmin_sketch"](spark, sf_small).collect()
+    # the query's own proof columns must all hold
+    for r in QUERIES["agg_countmin_sketch"](spark, sf_small).collect():
+        assert r.within_eps_bound
+
     e = table(spark, sf_small, "events")
+    rows = (
+        e.groupBy("event_type")
+        .agg(
+            F.count_min_sketch(
+                F.col("user_id"), F.lit(0.001), F.lit(0.99), F.lit(42)
+            ).alias("sketch"),
+            F.count("*").alias("n_events"),
+        )
+        .collect()
+    )
     CMS = spark._jvm.org.apache.spark.util.sketch.CountMinSketch
     for r in rows:
         sk = CMS.readFrom(bytes(r.sketch))

@@ -419,14 +419,16 @@ def test_crypto_roundtrip_every_row_ok(spark):
 
 def test_stream_incremental_minhash_equals_batch_lsh(spark):
     """Incremental == batch: the 3-chunk streaming replay must discover
-    EXACTLY the one-shot batch LSH pair set, jaccards included."""
+    EXACTLY the one-shot batch LSH pair set, jaccards included (r7: the
+    stream now uses the wave-159 Carter-Wegman family, so the batch twin
+    is dedup_minhash_lsh_exact — the hash-exact flagship)."""
     streamed = {
         (r.doc_a, r.doc_b, r.jaccard)
         for r in QUERIES["stream_incremental_minhash_dedup"](spark, SF_SMALL).collect()
     }
     batch = {
         (r.doc_a, r.doc_b, r.jaccard)
-        for r in QUERIES["dedup_minhash_lsh"](spark, SF_SMALL).collect()
+        for r in QUERIES["dedup_minhash_lsh_exact"](spark, SF_SMALL).collect()
     }
     assert streamed == batch
     assert len(streamed) == len(
