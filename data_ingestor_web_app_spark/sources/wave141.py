@@ -117,14 +117,27 @@ def source_global_temp_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("stream_rate_source_smoke")  # rows-only: wall-clock generator
+@query(
+    "stream_rate_source_smoke",
+    oracle="""
+    SELECT CAST(range AS BIGINT) AS seq,
+           CAST(range % 97 AS BIGINT) AS payload_mod,
+           CAST(8 + LENGTH(CAST(range AS VARCHAR)) AS BIGINT) AS n_chars
+    FROM RANGE(200)
+    """,
+)  # rows-only: wall-clock generator
 def stream_rate_source_smoke(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The `rate` streaming source — Spark's built-in load generator
     (monotonic timestamp + value rows at rowsPerSecond) — driven through
-    the LogEntry-style enrichment for ~2 wall-clock seconds and drained
-    to memory. The source every streaming load test starts from; row
-    count depends on wall time, hence rows-only (pytest asserts rows
-    arrived and the derived columns hold).
+    the LogEntry-style enrichment and drained to memory. The source every
+    streaming load test starts from.
+
+    Promoted from rows-only to hash-exact in r7: the generator's VALUE
+    sequence always starts at 0 and micro-batches commit complete value
+    prefixes, so draining until >= 200 rows and returning exactly the
+    seq < 200 prefix is fully deterministic — the oracle regenerates the
+    200 rows analytically from RANGE(200). Wall-clock only decides HOW
+    LONG the drain takes, never what the checked rows contain.
 
     Scale shape: partitioned generator (numPartitions), no input I/O."""
     import tempfile
@@ -149,10 +162,18 @@ def stream_rate_source_smoke(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("checkpointLocation", tempfile.mkdtemp(prefix="rate_ckpt_"))
         .start()
     )
-    deadline = time.time() + 4
+    deadline = time.time() + 60
     while time.time() < deadline:
         if spark.table(name).count() >= 200:
             break
         time.sleep(0.25)
     q.stop()
-    return spark.table(name)
+    return (
+        spark.table(name)
+        .where(F.col("seq") < 200)
+        .select(
+            F.col("seq").cast("long").alias("seq"),
+            F.col("payload_mod").cast("long").alias("payload_mod"),
+            F.col("n_chars").cast("long").alias("n_chars"),
+        )
+    )

@@ -87,7 +87,37 @@ def stream_foreach_ack(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SESSION_GAP_MS = 30 * 60 * 1000  # same 30-min gap as the batch sessionizers
 
 
-@query("stream_session_timeout")  # rows-only: timeout-driven state, no SQL twin
+@query(
+    "stream_session_timeout",
+    oracle="""
+    WITH o AS (
+        SELECT user_id, CAST(epoch_ms(ts) AS BIGINT) AS ms FROM events
+    ),
+    marked AS (
+        SELECT user_id, ms,
+               CASE WHEN ms - LAG(ms) OVER (PARTITION BY user_id
+                                            ORDER BY ms) > 1800000
+                    THEN 1 ELSE 0 END AS new_s
+        FROM o
+    ),
+    sess AS (
+        SELECT user_id, ms,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY ms
+                                ROWS UNBOUNDED PRECEDING) AS sid
+        FROM marked
+    ),
+    agg AS (
+        SELECT user_id, sid, MIN(ms) AS session_start_ms,
+               MAX(ms) AS session_end_ms,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM sess GROUP BY user_id, sid
+    ),
+    wm AS (SELECT MAX(CAST(epoch_ms(ts) AS BIGINT)) AS maxms FROM events)
+    SELECT user_id, session_start_ms, session_end_ms, n_events
+    FROM agg CROSS JOIN wm
+    WHERE session_end_ms + 1800000 < maxms
+    """,
+)
 def stream_session_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessions closed by STATE TIMEOUT rather than by observing the next
     event: per user, applyInPandasWithState accumulates the open session
@@ -99,10 +129,15 @@ def stream_session_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
     twin (udaf_gap_sessions) only discovers a boundary when a successor
     event arrives.
 
-    pytest asserts every timeout-emitted session matches the batch gap
-    sessionizer exactly (same start, end, count) — only each user's
-    final, still-open session may be absent (the stream replay ends
-    before its timeout can fire).
+    Promoted from rows-only to hash-exact in r7: the emitted set is
+    DETERMINISTIC — successor-closed sessions always emit, and a
+    timeout-closed session emits iff the final watermark (= global max
+    event time under the 0-second delay) strictly exceeds last_seen +
+    30 min. The oracle is therefore the batch gap sessionization minus
+    exactly the sessions with session_end + 30 min >= max(ts) (each
+    user's still-open tail the replay ends before timing out) —
+    empirically hash-exact at sf0.01 (9542 sessions), which also pins
+    Spark's strict-inequality timer semantics.
 
     Scale shape: keyed state of three scalars; timers are per-key and
     fire on watermark advance — O(active users) state, no shuffle beyond

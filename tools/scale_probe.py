@@ -251,6 +251,139 @@ def synth_boilerplate_docs(spark, src_sf: str, depth: int = 10_000) -> str:
     return out
 
 
+def synth_skewed_embeddings(
+    spark, src_sf: str, mult: int, hot_frac: float = 0.3
+) -> str:
+    """embeddings/documents replicated mult× with fresh ids; with
+    hot_frac > 0, that fraction of every clone copy is remapped onto ONE
+    IVF cell — embedding := the hot label's centroid with a tiny
+    deterministic per-row/per-dim jitter, label := the hot label — so one
+    posting list owns ~hot_frac of the corpus (the shifted-cluster skew a
+    crawl+embed pipeline produces when boilerplate dominates). hot_frac=0
+    gives the uniform twin for the A/B. Other tables copied as-is."""
+    out = tempfile.mkdtemp(prefix=f"vecskew_x{mult}_{int(hot_frac*100)}_")
+    e = table(spark, src_sf, "embeddings")
+    d = table(spark, src_sf, "documents")
+    hot_label = e.agg(F.min("label")).first()[0]
+    cvec = [
+        float(r.cx)
+        for r in e.where(F.col("label") == hot_label)
+        .select(F.posexplode("embedding").alias("i", "x"))
+        .groupBy("i")
+        .agg(F.avg("x").alias("cx"))
+        .orderBy("i")
+        .collect()
+    ]
+    cent_arr = F.array(*[F.lit(v) for v in cvec])
+    stride = 10_000_000
+    e_copies, d_copies = [], []
+    for i in range(mult):
+        ec = e.select(
+            (F.col("vec_id") + stride * i).alias("vec_id"), "embedding", "label"
+        )
+        if hot_frac > 0 and i > 0:
+            is_hot = (
+                F.pmod(F.xxhash64("vec_id", F.lit(i)), F.lit(1000))
+                < int(hot_frac * 1000)
+            )
+            jitter = F.transform(
+                cent_arr,
+                lambda x, j: (
+                    x
+                    * (
+                        1.0
+                        + (
+                            F.pmod(F.col("vec_id") * 31 + j.cast("long"), F.lit(101))
+                            - 50
+                        ).cast("double")
+                        * 1e-5
+                    )
+                ).cast("float"),
+            )
+            ec = ec.select(
+                "vec_id",
+                F.when(is_hot, jitter).otherwise(F.col("embedding")).alias(
+                    "embedding"
+                ),
+                F.when(is_hot, F.lit(hot_label)).otherwise(F.col("label")).alias(
+                    "label"
+                ),
+            )
+        e_copies.append(ec)
+        d_copies.append(
+            d.select(
+                (F.col("doc_id") + stride * i).alias("doc_id"),
+                *[c for c in d.columns if c != "doc_id"],
+            )
+        )
+    ecat, dcat = e_copies[0], d_copies[0]
+    for ec in e_copies[1:]:
+        ecat = ecat.unionByName(ec)
+    for dc in d_copies[1:]:
+        dcat = dcat.unionByName(dc)
+    ecat.repartition(32).write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
+    dcat.repartition(32).write.mode("overwrite").parquet(f"{out}/documents.parquet")
+    for name in TABLES:
+        if name in ("embeddings", "documents"):
+            continue
+        table(spark, src_sf, name).write.mode("overwrite").parquet(
+            f"{out}/{name}.parquet"
+        )
+    return out
+
+
+def run_vecskew_probe(args) -> None:
+    """VERDICT r6 item 8: hot-cell skew for the vector family. Measures
+    dedup_embedding + sim_ivf_topk on a uniform mult× corpus vs the same
+    corpus with one IVF cell owning ~30% of vectors; gate: worst task
+    max/median < 4 (AQE skew-split must absorb the hot posting list)."""
+    registry.load_all()
+    spark = get_spark(
+        "scale-probe-vecskew", extra_conf={"spark.ui.enabled": "true"}
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    uniform_dir = synth_skewed_embeddings(spark, args.src, args.mult, 0.0)
+    skew_dir = synth_skewed_embeddings(spark, args.src, args.mult, 0.3)
+    probes = ["dedup_embedding", "sim_ivf_topk"]
+
+    def timed(name: str, sf_dir: str) -> tuple[float, int]:
+        t0 = time.perf_counter()
+        n = registry.QUERIES[name](spark, sf_dir).count()
+        return round(time.perf_counter() - t0, 3), n
+
+    timed("sim_ivf_topk", args.src)  # warm
+    uniform = {n: timed(n, uniform_dir) for n in probes}
+    skew_times, task_skew = {}, {}
+    for n in probes:
+        stage_floor = _max_stage_id(spark)
+        skew_times[n] = timed(n, skew_dir)
+        task_skew[n] = _task_skew_from_rest(spark, stage_floor + 1)
+
+    print(
+        json.dumps(
+            {
+                "mult": args.mult,
+                "hot_frac": 0.3,
+                "uniform_sec_rows": uniform,
+                "skewed_sec_rows": skew_times,
+                "wall_ratio": {
+                    n: round(skew_times[n][0] / max(uniform[n][0], 1e-9), 2)
+                    for n in probes
+                },
+                "task_skew_max_over_median": task_skew,
+                "note": (
+                    "one IVF cell owns ~30% of a "
+                    f"{args.mult}x corpus; gate: task max/median < 4 "
+                    "(AQE skew-join absorbing the hot posting list); "
+                    "dedup_embedding's output grows ~C(0.3N,2) because the "
+                    "hot cluster IS near-duplicate — real pairs, not waste"
+                ),
+            }
+        )
+    )
+
+
 def _task_skew_from_rest(
     spark, min_stage_id: int, min_tasks: int = 8, min_max_ms: float = 200.0
 ) -> dict:
@@ -395,10 +528,18 @@ def main() -> None:
     )
     ap.add_argument("--depth", type=int, default=10_000,
                     help="boilerplate cluster depth for --skew")
+    ap.add_argument(
+        "--vecskew", action="store_true",
+        help="probe hot-IVF-cell skew for the embedding family",
+    )
     args = ap.parse_args()
 
     if args.skew:
         run_skew_probe(args)
+        return
+
+    if args.vecskew:
+        run_vecskew_probe(args)
         return
 
     if args.llm:
