@@ -320,6 +320,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave228",
     "data_ingestor_web_app_spark.operators.wave229",
     "data_ingestor_web_app_spark.operators.wave230",
+    "data_ingestor_web_app_spark.llm.wave231",
 ]
 
 
