@@ -322,6 +322,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave230",
     "data_ingestor_web_app_spark.llm.wave231",
     "data_ingestor_web_app_spark.operators.wave232",
+    "data_ingestor_web_app_spark.operators.wave233",
 ]
 
 
