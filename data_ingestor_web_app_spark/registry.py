@@ -323,6 +323,8 @@ _MODULES = [
     "data_ingestor_web_app_spark.llm.wave231",
     "data_ingestor_web_app_spark.operators.wave232",
     "data_ingestor_web_app_spark.operators.wave233",
+    "data_ingestor_web_app_spark.operators.wave234",
+    "data_ingestor_web_app_spark.operators.wave235",
 ]
 
 
