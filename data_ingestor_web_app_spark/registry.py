@@ -327,6 +327,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave235",
     "data_ingestor_web_app_spark.operators.wave236",
     "data_ingestor_web_app_spark.operators.wave237",
+    "data_ingestor_web_app_spark.operators.wave238",
 ]
 
 
