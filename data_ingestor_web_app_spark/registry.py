@@ -333,6 +333,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.llm.wave241",
     "data_ingestor_web_app_spark.operators.wave242",
     "data_ingestor_web_app_spark.operators.wave243",
+    "data_ingestor_web_app_spark.operators.wave244",
 ]
 
 
