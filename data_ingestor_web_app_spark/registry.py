@@ -334,6 +334,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave242",
     "data_ingestor_web_app_spark.operators.wave243",
     "data_ingestor_web_app_spark.operators.wave244",
+    "data_ingestor_web_app_spark.operators.wave245",
 ]
 
 
