@@ -336,6 +336,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave244",
     "data_ingestor_web_app_spark.operators.wave245",
     "data_ingestor_web_app_spark.operators.wave246",
+    "data_ingestor_web_app_spark.operators.wave247",
 ]
 
 
