@@ -337,6 +337,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave245",
     "data_ingestor_web_app_spark.operators.wave246",
     "data_ingestor_web_app_spark.operators.wave247",
+    "data_ingestor_web_app_spark.operators.wave248",
 ]
 
 
