@@ -338,6 +338,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave246",
     "data_ingestor_web_app_spark.operators.wave247",
     "data_ingestor_web_app_spark.operators.wave248",
+    "data_ingestor_web_app_spark.operators.wave249",
 ]
 
 
