@@ -340,6 +340,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave248",
     "data_ingestor_web_app_spark.operators.wave249",
     "data_ingestor_web_app_spark.operators.wave250",
+    "data_ingestor_web_app_spark.operators.wave251",
 ]
 
 
