@@ -341,6 +341,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave249",
     "data_ingestor_web_app_spark.operators.wave250",
     "data_ingestor_web_app_spark.operators.wave251",
+    "data_ingestor_web_app_spark.operators.wave252",
 ]
 
 
