@@ -342,6 +342,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave250",
     "data_ingestor_web_app_spark.operators.wave251",
     "data_ingestor_web_app_spark.operators.wave252",
+    "data_ingestor_web_app_spark.llm.wave253",
 ]
 
 
