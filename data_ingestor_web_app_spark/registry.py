@@ -343,6 +343,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave251",
     "data_ingestor_web_app_spark.operators.wave252",
     "data_ingestor_web_app_spark.llm.wave253",
+    "data_ingestor_web_app_spark.operators.wave254",
 ]
 
 
