@@ -346,6 +346,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave254",
     "data_ingestor_web_app_spark.operators.wave255",
     "data_ingestor_web_app_spark.llm.wave256",
+    "data_ingestor_web_app_spark.llm.wave257",
 ]
 
 
