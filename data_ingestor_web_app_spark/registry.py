@@ -347,6 +347,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave255",
     "data_ingestor_web_app_spark.llm.wave256",
     "data_ingestor_web_app_spark.llm.wave257",
+    "data_ingestor_web_app_spark.operators.wave258",
 ]
 
 
