@@ -348,6 +348,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.llm.wave256",
     "data_ingestor_web_app_spark.llm.wave257",
     "data_ingestor_web_app_spark.operators.wave258",
+    "data_ingestor_web_app_spark.operators.wave259",
 ]
 
 
