@@ -349,6 +349,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.llm.wave257",
     "data_ingestor_web_app_spark.operators.wave258",
     "data_ingestor_web_app_spark.operators.wave259",
+    "data_ingestor_web_app_spark.operators.wave260",
 ]
 
 
