@@ -350,6 +350,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave258",
     "data_ingestor_web_app_spark.operators.wave259",
     "data_ingestor_web_app_spark.operators.wave260",
+    "data_ingestor_web_app_spark.operators.wave261",
 ]
 
 
