@@ -351,6 +351,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave259",
     "data_ingestor_web_app_spark.operators.wave260",
     "data_ingestor_web_app_spark.operators.wave261",
+    "data_ingestor_web_app_spark.operators.wave262",
 ]
 
 
