@@ -94,6 +94,14 @@ HEADLINE = [
     # formulation) — perf canaries for the exact-integer statistics family
     "sim_mmd_poly",
     "agg_jonckheere_terpstra",
+    # round 7 waves: the grid-blocked bounded kNN join (bucket-and-verify
+    # over the cell equi-join), the k-sample AD test (distinct-value EDF
+    # grid + O(N) harmonic frame), and kernel herding (three broadcast
+    # argmax scans over embeddings) — perf canaries for this round's
+    # join/statistics/vector additions
+    "spatial_knn_bounded",
+    "agg_ad_ksample",
+    "sim_kernel_herding",
 ]
 
 
