@@ -354,6 +354,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave262",
     "data_ingestor_web_app_spark.operators.wave263",
     "data_ingestor_web_app_spark.operators.wave264",
+    "data_ingestor_web_app_spark.operators.wave265",
 ]
 
 
