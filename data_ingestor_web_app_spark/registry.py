@@ -355,6 +355,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave263",
     "data_ingestor_web_app_spark.operators.wave264",
     "data_ingestor_web_app_spark.operators.wave265",
+    "data_ingestor_web_app_spark.llm.wave266",
 ]
 
 
