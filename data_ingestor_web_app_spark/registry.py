@@ -357,6 +357,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave265",
     "data_ingestor_web_app_spark.llm.wave266",
     "data_ingestor_web_app_spark.operators.wave267",
+    "data_ingestor_web_app_spark.operators.wave268",
 ]
 
 
