@@ -359,6 +359,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave267",
     "data_ingestor_web_app_spark.operators.wave268",
     "data_ingestor_web_app_spark.operators.wave269",
+    "data_ingestor_web_app_spark.operators.wave270",
 ]
 
 
