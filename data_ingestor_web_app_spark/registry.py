@@ -361,6 +361,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave269",
     "data_ingestor_web_app_spark.operators.wave270",
     "data_ingestor_web_app_spark.operators.wave271",
+    "data_ingestor_web_app_spark.operators.wave272",
 ]
 
 
