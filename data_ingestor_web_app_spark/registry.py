@@ -363,6 +363,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave271",
     "data_ingestor_web_app_spark.operators.wave272",
     "data_ingestor_web_app_spark.llm.wave273",
+    "data_ingestor_web_app_spark.operators.wave274",
 ]
 
 
