@@ -162,13 +162,18 @@ _PITCH_LO, _PITCH_HI = 20, 200  # lag range: 8 kHz / lag -> 40..400 Hz
         FROM idx
     ),
     lags AS (SELECT UNNEST(RANGE({_PITCH_LO}, {_PITCH_HI + 1})) AS k),
+    slists AS (
+        SELECT doc_id, ANY_VALUE(n_frames) AS n,
+               LIST(s ORDER BY i) AS sl
+        FROM samples GROUP BY doc_id
+    ),
     ac AS (
-        SELECT a.doc_id, l.k,
-               CAST(SUM(a.s * b.s) AS BIGINT) AS r
-        FROM samples a
-        CROSS JOIN lags l
-        JOIN samples b ON b.doc_id = a.doc_id AND b.i = a.i + l.k
-        GROUP BY a.doc_id, l.k
+        -- vectorized list-slice dot product per (doc, lag): products are
+        -- < 2^53 so the double-valued dot is integer-exact
+        SELECT doc_id, l.k,
+               CAST(LIST_DOT_PRODUCT(sl[1 : n - l.k],
+                                     sl[l.k + 1 : n]) AS BIGINT) AS r
+        FROM slists CROSS JOIN lags l
     ),
     r0 AS (
         SELECT doc_id, CAST(SUM(s * s) AS BIGINT) AS r0 FROM samples
