@@ -364,6 +364,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave272",
     "data_ingestor_web_app_spark.llm.wave273",
     "data_ingestor_web_app_spark.operators.wave274",
+    "data_ingestor_web_app_spark.operators.wave275",
 ]
 
 
