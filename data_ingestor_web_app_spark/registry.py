@@ -365,6 +365,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.llm.wave273",
     "data_ingestor_web_app_spark.operators.wave274",
     "data_ingestor_web_app_spark.operators.wave275",
+    "data_ingestor_web_app_spark.operators.wave276",
 ]
 
 
