@@ -366,6 +366,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave274",
     "data_ingestor_web_app_spark.operators.wave275",
     "data_ingestor_web_app_spark.operators.wave276",
+    "data_ingestor_web_app_spark.operators.wave277",
 ]
 
 
