@@ -367,6 +367,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave275",
     "data_ingestor_web_app_spark.operators.wave276",
     "data_ingestor_web_app_spark.operators.wave277",
+    "data_ingestor_web_app_spark.llm.wave278",
 ]
 
 
