@@ -368,6 +368,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave276",
     "data_ingestor_web_app_spark.operators.wave277",
     "data_ingestor_web_app_spark.llm.wave278",
+    "data_ingestor_web_app_spark.operators.wave279",
 ]
 
 
