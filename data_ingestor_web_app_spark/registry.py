@@ -369,6 +369,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave277",
     "data_ingestor_web_app_spark.llm.wave278",
     "data_ingestor_web_app_spark.operators.wave279",
+    "data_ingestor_web_app_spark.operators.wave280",
 ]
 
 
