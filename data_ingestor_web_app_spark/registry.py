@@ -370,6 +370,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.llm.wave278",
     "data_ingestor_web_app_spark.operators.wave279",
     "data_ingestor_web_app_spark.operators.wave280",
+    "data_ingestor_web_app_spark.operators.wave281",
 ]
 
 
