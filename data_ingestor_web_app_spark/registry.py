@@ -371,6 +371,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave279",
     "data_ingestor_web_app_spark.operators.wave280",
     "data_ingestor_web_app_spark.operators.wave281",
+    "data_ingestor_web_app_spark.operators.wave282",
 ]
 
 
