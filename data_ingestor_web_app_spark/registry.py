@@ -372,6 +372,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave280",
     "data_ingestor_web_app_spark.operators.wave281",
     "data_ingestor_web_app_spark.operators.wave282",
+    "data_ingestor_web_app_spark.operators.wave283",
 ]
 
 
