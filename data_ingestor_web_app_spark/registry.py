@@ -373,6 +373,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave281",
     "data_ingestor_web_app_spark.operators.wave282",
     "data_ingestor_web_app_spark.operators.wave283",
+    "data_ingestor_web_app_spark.operators.wave284",
 ]
 
 
