@@ -374,6 +374,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave282",
     "data_ingestor_web_app_spark.operators.wave283",
     "data_ingestor_web_app_spark.operators.wave284",
+    "data_ingestor_web_app_spark.operators.wave285",
 ]
 
 
