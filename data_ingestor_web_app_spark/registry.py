@@ -375,6 +375,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave283",
     "data_ingestor_web_app_spark.operators.wave284",
     "data_ingestor_web_app_spark.operators.wave285",
+    "data_ingestor_web_app_spark.llm.wave286",
 ]
 
 
