@@ -377,6 +377,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave285",
     "data_ingestor_web_app_spark.llm.wave286",
     "data_ingestor_web_app_spark.operators.wave287",
+    "data_ingestor_web_app_spark.operators.wave288",
 ]
 
 
