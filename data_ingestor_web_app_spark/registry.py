@@ -380,6 +380,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave288",
     "data_ingestor_web_app_spark.operators.wave289",
     "data_ingestor_web_app_spark.operators.wave290",
+    "data_ingestor_web_app_spark.operators.wave291",
 ]
 
 
