@@ -382,6 +382,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave290",
     "data_ingestor_web_app_spark.operators.wave291",
     "data_ingestor_web_app_spark.operators.wave292",
+    "data_ingestor_web_app_spark.operators.wave293",
 ]
 
 
