@@ -246,6 +246,16 @@ def model_rank_schulze(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     cands = sorted(r["i"] for r in p.select("i").distinct().collect())
+    # HARD BOUND (VERDICT r7 item 5): this is a Floyd-Warshall-style driver
+    # loop issuing one Spark job per candidate — fine for a dimension-sized
+    # alternative set, catastrophic if the set ever grows with the corpus.
+    # Fail loudly instead of silently launching thousands of jobs.
+    if len(cands) > 16:
+        raise ValueError(
+            f"schulze widest-path driver loop got {len(cands)} alternatives "
+            "(bound: 16) — the candidate set must stay dimension-sized; "
+            "pre-aggregate event_type before calling this operator"
+        )
     for k in cands:
         left = p.where(F.col("j") == k).select(
             F.col("i").alias("wi"), F.col("v").alias("va")

@@ -39,36 +39,63 @@ ORACLES: dict[str, str] = {}
 # New queries this round must be added to BACK-of-list modules (or new
 # modules appended after the window block) so they don't shift slots 1-50.
 _MODULES = [
-    # --- round-7 driver window: exactly 50 never-driver-checked queries
-    #     (waves 135-157 + 159 — the inequality/series/cluster-validity
-    #     families VERDICT r6 flagged as the biggest never-sampled block;
-    #     sources.wave141 is excluded because one of its four queries is
-    #     declared rows-only and every window slot must be hash-exact-
-    #     capable, and wave158 is excluded to land on exactly 50;
-    #     r6's window block wave116..wave134 is demoted below) ---
-    "data_ingestor_web_app_spark.operators.wave135",  # 3 (cum 3)
-    "data_ingestor_web_app_spark.operators.wave136",  # 3 (cum 6)
-    "data_ingestor_web_app_spark.operators.wave137",  # 2 (cum 8)
-    "data_ingestor_web_app_spark.operators.wave138",  # 2 (cum 10)
-    "data_ingestor_web_app_spark.llm.wave139",  # 2 (cum 12)
-    "data_ingestor_web_app_spark.operators.wave140",  # 2 (cum 14)
-    "data_ingestor_web_app_spark.operators.wave142",  # 2 (cum 16)
-    "data_ingestor_web_app_spark.operators.wave143",  # 3 (cum 19)
-    "data_ingestor_web_app_spark.operators.wave144",  # 3 (cum 22)
-    "data_ingestor_web_app_spark.operators.wave145",  # 3 (cum 25)
-    "data_ingestor_web_app_spark.operators.wave146",  # 2 (cum 27)
-    "data_ingestor_web_app_spark.operators.wave147",  # 2 (cum 29)
-    "data_ingestor_web_app_spark.llm.wave148",  # 2 (cum 31)
-    "data_ingestor_web_app_spark.llm.wave149",  # 2 (cum 33)
-    "data_ingestor_web_app_spark.functions.wave150",  # 2 (cum 35)
-    "data_ingestor_web_app_spark.operators.wave151",  # 3 (cum 38)
-    "data_ingestor_web_app_spark.operators.wave152",  # 2 (cum 40)
-    "data_ingestor_web_app_spark.llm.wave153",  # 2 (cum 42)
-    "data_ingestor_web_app_spark.llm.wave154",  # 1 (cum 43)
-    "data_ingestor_web_app_spark.functions.wave155",  # 2 (cum 45)
-    "data_ingestor_web_app_spark.operators.wave156",  # 2 (cum 47)
-    "data_ingestor_web_app_spark.operators.wave157",  # 2 (cum 49)
-    "data_ingestor_web_app_spark.llm.wave159",  # 1 (cum 50)
+    # --- round-8 driver window: exactly 50 never-driver-checked queries
+    #     (waves 267-293 — the newest audit/statistics block VERDICT r7
+    #     flagged as never-sampled mass, INCLUDING wave293's agg_medcouple
+    #     + fn_hamming_code which post-date the last doc regeneration;
+    #     wave268 is excluded to land on exactly 50; every slot is
+    #     SQL-oracle-backed/hash-exact-capable; r7's window block
+    #     wave135..wave159 is demoted below) ---
+    "data_ingestor_web_app_spark.operators.wave293",  # 2 (cum 2)
+    "data_ingestor_web_app_spark.operators.wave292",  # 2 (cum 4)
+    "data_ingestor_web_app_spark.operators.wave291",  # 2 (cum 6)
+    "data_ingestor_web_app_spark.operators.wave290",  # 2 (cum 8)
+    "data_ingestor_web_app_spark.operators.wave289",  # 2 (cum 10)
+    "data_ingestor_web_app_spark.operators.wave288",  # 1 (cum 11)
+    "data_ingestor_web_app_spark.operators.wave287",  # 2 (cum 13)
+    "data_ingestor_web_app_spark.llm.wave286",  # 2 (cum 15)
+    "data_ingestor_web_app_spark.operators.wave285",  # 2 (cum 17)
+    "data_ingestor_web_app_spark.operators.wave284",  # 2 (cum 19)
+    "data_ingestor_web_app_spark.operators.wave283",  # 2 (cum 21)
+    "data_ingestor_web_app_spark.operators.wave282",  # 2 (cum 23)
+    "data_ingestor_web_app_spark.operators.wave281",  # 2 (cum 25)
+    "data_ingestor_web_app_spark.operators.wave280",  # 2 (cum 27)
+    "data_ingestor_web_app_spark.operators.wave279",  # 2 (cum 29)
+    "data_ingestor_web_app_spark.llm.wave278",  # 2 (cum 31)
+    "data_ingestor_web_app_spark.operators.wave277",  # 2 (cum 33)
+    "data_ingestor_web_app_spark.operators.wave276",  # 2 (cum 35)
+    "data_ingestor_web_app_spark.operators.wave275",  # 2 (cum 37)
+    "data_ingestor_web_app_spark.operators.wave274",  # 2 (cum 39)
+    "data_ingestor_web_app_spark.llm.wave273",  # 2 (cum 41)
+    "data_ingestor_web_app_spark.operators.wave272",  # 2 (cum 43)
+    "data_ingestor_web_app_spark.operators.wave271",  # 2 (cum 45)
+    "data_ingestor_web_app_spark.operators.wave270",  # 2 (cum 47)
+    "data_ingestor_web_app_spark.operators.wave269",  # 2 (cum 49)
+    "data_ingestor_web_app_spark.operators.wave267",  # 1 (cum 50)
+    # --- r7 window (waves 135-159, driver-checked in r7) demoted ---
+    "data_ingestor_web_app_spark.operators.wave135",
+    "data_ingestor_web_app_spark.operators.wave136",
+    "data_ingestor_web_app_spark.operators.wave137",
+    "data_ingestor_web_app_spark.operators.wave138",
+    "data_ingestor_web_app_spark.llm.wave139",
+    "data_ingestor_web_app_spark.operators.wave140",
+    "data_ingestor_web_app_spark.operators.wave142",
+    "data_ingestor_web_app_spark.operators.wave143",
+    "data_ingestor_web_app_spark.operators.wave144",
+    "data_ingestor_web_app_spark.operators.wave145",
+    "data_ingestor_web_app_spark.operators.wave146",
+    "data_ingestor_web_app_spark.operators.wave147",
+    "data_ingestor_web_app_spark.llm.wave148",
+    "data_ingestor_web_app_spark.llm.wave149",
+    "data_ingestor_web_app_spark.functions.wave150",
+    "data_ingestor_web_app_spark.operators.wave151",
+    "data_ingestor_web_app_spark.operators.wave152",
+    "data_ingestor_web_app_spark.llm.wave153",
+    "data_ingestor_web_app_spark.llm.wave154",
+    "data_ingestor_web_app_spark.functions.wave155",
+    "data_ingestor_web_app_spark.operators.wave156",
+    "data_ingestor_web_app_spark.operators.wave157",
+    "data_ingestor_web_app_spark.llm.wave159",
     # --- r6 window (waves 116-134, driver-checked in r6) demoted ---
     "data_ingestor_web_app_spark.operators.wave116",
     "data_ingestor_web_app_spark.operators.wave117",
@@ -356,33 +383,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave264",
     "data_ingestor_web_app_spark.operators.wave265",
     "data_ingestor_web_app_spark.llm.wave266",
-    "data_ingestor_web_app_spark.operators.wave267",
     "data_ingestor_web_app_spark.operators.wave268",
-    "data_ingestor_web_app_spark.operators.wave269",
-    "data_ingestor_web_app_spark.operators.wave270",
-    "data_ingestor_web_app_spark.operators.wave271",
-    "data_ingestor_web_app_spark.operators.wave272",
-    "data_ingestor_web_app_spark.llm.wave273",
-    "data_ingestor_web_app_spark.operators.wave274",
-    "data_ingestor_web_app_spark.operators.wave275",
-    "data_ingestor_web_app_spark.operators.wave276",
-    "data_ingestor_web_app_spark.operators.wave277",
-    "data_ingestor_web_app_spark.llm.wave278",
-    "data_ingestor_web_app_spark.operators.wave279",
-    "data_ingestor_web_app_spark.operators.wave280",
-    "data_ingestor_web_app_spark.operators.wave281",
-    "data_ingestor_web_app_spark.operators.wave282",
-    "data_ingestor_web_app_spark.operators.wave283",
-    "data_ingestor_web_app_spark.operators.wave284",
-    "data_ingestor_web_app_spark.operators.wave285",
-    "data_ingestor_web_app_spark.llm.wave286",
-    "data_ingestor_web_app_spark.operators.wave287",
-    "data_ingestor_web_app_spark.operators.wave288",
-    "data_ingestor_web_app_spark.operators.wave289",
-    "data_ingestor_web_app_spark.operators.wave290",
-    "data_ingestor_web_app_spark.operators.wave291",
-    "data_ingestor_web_app_spark.operators.wave292",
-    "data_ingestor_web_app_spark.operators.wave293",
 ]
 
 

@@ -51,6 +51,7 @@ protocol parity, not bulk throughput — SURVEY §2A R1.
 from __future__ import annotations
 
 import base64
+import errno
 import json
 import os
 import socket
@@ -173,9 +174,12 @@ class _Listener:
             try:
                 self._sock.bind((host, port))
                 break
-            except OSError:
+            except OSError as exc:
                 self._sock.close()
-                if _time.time() > deadline:
+                # Only EADDRINUSE is the transient restart race worth waiting
+                # out; anything else (EADDRNOTAVAIL from a bad host option,
+                # EACCES on a privileged port) is permanent — fail fast.
+                if exc.errno != errno.EADDRINUSE or _time.time() > deadline:
                     raise
                 _time.sleep(0.3)
         self._sock.listen(128)
@@ -276,11 +280,25 @@ class _Listener:
 
     def drain(self, start_idx: int) -> tuple[list[tuple], int]:
         with self._lock:
+            # A checkpoint offset below the compacted journal base means the
+            # caller is asking for records that were already pruned — a
+            # negative Python slice would silently return the wrong tail
+            # records instead of failing.
+            if start_idx < self._base:
+                raise ValueError(
+                    f"drain start_idx {start_idx} precedes committed journal "
+                    f"base {self._base}: stale checkpoint vs compacted WAL"
+                )
             rows = self._records[start_idx - self._base :]
             return rows, self._base + len(self._records)
 
     def slice(self, start_idx: int, end_idx: int) -> list[tuple]:
         with self._lock:
+            if start_idx < self._base:
+                raise ValueError(
+                    f"slice start_idx {start_idx} precedes committed journal "
+                    f"base {self._base}: stale checkpoint vs compacted WAL"
+                )
             return self._records[start_idx - self._base : end_idx - self._base]
 
     def prune(self, end_idx: int) -> None:
@@ -374,7 +392,17 @@ class TcpListenStreamReader(SimpleDataSourceStreamReader):
         jdir = self._options.get("journaldir")
         if jdir and s < e:
             loaded, _ = _journal_load(jdir)
-            return iter(loaded[i] for i in range(s, e) if i in loaded)
+            # Under the exactly-once contract every offset in [s, e) MUST be
+            # in the WAL; a gap means corruption/truncation, and silently
+            # yielding fewer rows would be silent data loss. Fail loudly.
+            missing = [i for i in range(s, e) if i not in loaded]
+            if missing:
+                raise RuntimeError(
+                    f"journal replay gap: offsets {missing[:5]}"
+                    f"{'...' if len(missing) > 5 else ''} absent from WAL at "
+                    f"{jdir} for requested range [{s}, {e})"
+                )
+            return iter(loaded[i] for i in range(s, e))
         return iter(())
 
     def commit(self, end: dict) -> None:

@@ -168,6 +168,15 @@ def stream_rate_source_smoke(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
         time.sleep(0.25)
     q.stop()
+    got = spark.table(name).count()
+    if got < 200:
+        # Fail loudly on an environment stall rather than as an opaque
+        # downstream hash mismatch (<200 rows means the rate source never
+        # reached seq 200 within the 60 s drain window on this box).
+        raise RuntimeError(
+            f"rate-source drain stalled: {got} rows after 60 s (need >=200); "
+            "environment too contended for the smoke deadline"
+        )
     return (
         spark.table(name)
         .where(F.col("seq") < 200)

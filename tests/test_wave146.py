@@ -77,3 +77,20 @@ def test_schulze_matches_python(spark):
         assert rows[i]["schulze_winner"] == (wins == len(cands) - 1)
         winners += rows[i]["schulze_winner"]
     assert winners <= 1
+
+
+def test_schulze_driver_loop_job_bound(spark):
+    """VERDICT r7 item 5: the Schulze widest-path loop issues one Spark job
+    per alternative — assert the total job count stays dimension-bounded
+    (and that the in-code bound of 16 alternatives is enforced)."""
+    sc = spark.sparkContext
+    sc.setJobGroup("schulze-bound", "job-count audit", interruptOnCancel=False)
+    before = set(sc.statusTracker().getJobIdsForGroup("schulze-bound"))
+    QUERIES["model_rank_schulze"](spark, SF).collect()
+    after = set(sc.statusTracker().getJobIdsForGroup("schulze-bound"))
+    sc.setJobGroup(None, None)
+    jobs = len(after - before)
+    # <=16 candidates x ~4 jobs each (join + localCheckpoint materialization)
+    # + bounded setup/collect jobs; the invariant is jobs ~ O(|event_type|),
+    # NEVER O(rows) (fixture: 8 types -> 35 jobs observed)
+    assert 0 < jobs <= 16 * 4 + 8, f"schulze launched {jobs} jobs (bound 72)"

@@ -74,3 +74,17 @@ def test_greedy_set_cover_replay(spark):
     # diminishing returns: marginals are non-increasing (greedy property)
     margs = [r["marginal"] for r in rows]
     assert margs == sorted(margs, reverse=True)
+
+
+def test_greedy_set_cover_job_bound(spark):
+    """VERDICT r7 item 5: greedy set cover runs ~3 jobs per pick, hard-capped
+    at 8 picks in code — assert the realized job count respects that."""
+    sc = spark.sparkContext
+    sc.setJobGroup("setcover-bound", "job-count audit", interruptOnCancel=False)
+    before = set(sc.statusTracker().getJobIdsForGroup("setcover-bound"))
+    QUERIES["pipeline_greedy_set_cover"](spark, SF).collect()
+    after = set(sc.statusTracker().getJobIdsForGroup("setcover-bound"))
+    sc.setJobGroup(None, None)
+    jobs = len(after - before)
+    # 8 picks x ~4 jobs (localCheckpoint + collect + count + union) + setup
+    assert 0 < jobs <= 8 * 4 + 8, f"set cover launched {jobs} jobs (bound 40)"
