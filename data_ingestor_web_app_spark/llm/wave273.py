@@ -270,36 +270,77 @@ def events_hazard_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     statistics (identical element_at(sorted, ceil) both engines);
     counts are integers; one guarded division per band.
 
-    Scale shape: one ordered lag window, one bounded (10-band) count
-    pass; the correlated subqueries in the ORACLE become one
-    conditional aggregate in the engine."""
+    Scale shape (r8 rework, VERDICT r7 item 4): the gap MULTISET — the
+    only thing the profile depends on — is computed WITHOUT a raw-row
+    global lag or a corpus-sized collect_list: collapse events to
+    distinct timestamps + counts first (same-ts events contribute
+    exactly (count-1) zero gaps; consecutive DISTINCT timestamps
+    contribute their positive diffs), then collapse the gaps themselves
+    to distinct values + weights. Every global window (the distinct-ts
+    lag, the weighted-EDF cumulative walk for the decile edges) runs
+    over an Aggregate frame, and the per-band counts are weighted sums
+    over the distinct-gap frame against broadcast edges."""
     e = table(spark, sf_dir, "events")
-    gaps = (
-        e.select(
+    dts = e.groupBy("ts").agg(F.count("*").cast("long").alias("c"))
+    wd = Window.orderBy("ts")
+    diffs = dts.select(
+        (
             (
-                (
-                    F.expr("unix_micros(ts)")
-                    - F.lag(F.expr("unix_micros(ts)")).over(
-                        Window.orderBy("ts", "event_id")
-                    )
-                )
-                / 1000000.0
-            ).alias("g")
-        )
-        .where(F.col("g").isNotNull())
+                F.expr("unix_micros(ts)")
+                - F.lag(F.expr("unix_micros(ts)")).over(wd)
+            )
+            / 1000000.0
+        ).alias("g")
+    ).where(F.col("g").isNotNull())
+    # same-ts events: each extra event at a timestamp is one zero gap
+    zeros = (
+        dts.agg((F.sum("c") - F.count("*")).cast("long").alias("w"))
+        .where(F.col("w") > 0)
+        .select(F.lit(0.0).alias("g"), "w")
     )
-    edges = gaps.agg(
+    gw = (
+        diffs.groupBy("g")
+        .agg(F.count("*").cast("long").alias("w"))
+        .unionByName(zeros)
+        .groupBy("g")
+        .agg(F.sum("w").cast("long").alias("w"))
+    )
+    wg = Window.orderBy("g")
+    cum = gw.select(
+        "g",
+        "w",
+        (F.sum("w").over(wg) - F.col("w")).alias("below"),
+        F.sum("w").over(wg).alias("upto"),
+        F.sum("w").over(Window.partitionBy()).alias("n"),
+    )
+    # decile edges: percentile_disc(q) = value at rank max(1, ceil(n*q)),
+    # selected as the distinct gap whose cumulative weight range covers it
+    edges = cum.agg(
         *[
-            F.expr(
-                "element_at(array_sort(collect_list(g)),"
-                f" cast(greatest(1.0, ceil(count(*) * {q / 10})) as int))"
+            F.min(
+                F.when(
+                    (
+                        F.col("below")
+                        < F.greatest(
+                            F.lit(1).cast("long"),
+                            F.ceil(F.col("n") * (q / 10)).cast("long"),
+                        )
+                    )
+                    & (
+                        F.greatest(
+                            F.lit(1).cast("long"),
+                            F.ceil(F.col("n") * (q / 10)).cast("long"),
+                        )
+                        <= F.col("upto")
+                    ),
+                    F.col("g"),
+                )
             ).alias(f"e{q}")
             for q in range(0, 10)
         ],
         F.max("g").alias("gmax"),
     )
-    # e0 must be the minimum (percentile_disc(0) = first order stat)
-    counts = gaps.crossJoin(F.broadcast(edges)).agg(
+    counts = gw.crossJoin(F.broadcast(edges)).agg(
         *[
             F.sum(
                 F.when(
@@ -309,7 +350,7 @@ def events_hazard_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                         if q < 9
                         else (F.col("g") <= F.col("gmax"))
                     ),
-                    1,
+                    F.col("w"),
                 ).otherwise(0)
             )
             .cast("long")
@@ -317,7 +358,7 @@ def events_hazard_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             for q in range(0, 10)
         ],
         *[
-            F.sum(F.when(F.col("g") >= F.col(f"e{q}"), 1).otherwise(0))
+            F.sum(F.when(F.col("g") >= F.col(f"e{q}"), F.col("w")).otherwise(0))
             .cast("long")
             .alias(f"r{q}")
             for q in range(0, 10)

@@ -499,6 +499,114 @@ def run_skew_probe(args) -> None:
     )
 
 
+def replicate_hotkey_window(
+    spark, src_sf: str, mult: int, hot_pct: int = 30
+) -> tuple[str, int, int]:
+    """Window-family skew twin (VERDICT r7 item 7): events replicated mult×
+    where hot_pct% of EVERY copy's rows are remapped to ONE hot user_id,
+    and orders likewise to ONE hot o_custkey — so per-key window operators
+    (running sums, sessionization, per-group top-k) face a single window
+    partition owning ~hot_pct% of a mult× fact table. event_id/o_orderkey
+    keep the uniform probe's per-copy shift so row identity stays unique."""
+    out = tempfile.mkdtemp(prefix=f"winskew_x{mult}_")
+    hot_user = table(spark, src_sf, "events").agg(F.max("user_id")).first()[0]
+    hot_cust = table(spark, src_sf, "orders").agg(F.max("o_custkey")).first()[0]
+    stride = 10_000_000
+    for name in TABLES:
+        df = table(spark, src_sf, name)
+        if name == "events":
+            copies = [
+                df.withColumn("event_id", F.col("event_id") + F.lit(i * stride))
+                .withColumn(
+                    "user_id",
+                    F.when(
+                        F.pmod(F.xxhash64("event_id", F.lit(i)), F.lit(100))
+                        < hot_pct,
+                        F.lit(hot_user),
+                    ).otherwise(F.col("user_id")),
+                )
+                for i in range(mult)
+            ]
+        elif name == "orders":
+            copies = [
+                df.withColumn("o_orderkey", F.col("o_orderkey") + F.lit(i * stride))
+                .withColumn(
+                    "o_custkey",
+                    F.when(
+                        F.pmod(F.xxhash64("o_orderkey", F.lit(i)), F.lit(100))
+                        < hot_pct,
+                        F.lit(hot_cust),
+                    ).otherwise(F.col("o_custkey")),
+                )
+                for i in range(mult)
+            ]
+        else:
+            df.write.mode("overwrite").parquet(f"{out}/{name}.parquet")
+            continue
+        big = copies[0]
+        for c in copies[1:]:
+            big = big.unionByName(c)
+        big.write.mode("overwrite").parquet(f"{out}/{name}.parquet")
+    return out, hot_user, hot_cust
+
+
+WINDOW_SKEW_PROBES = ["win_running_sum", "topk_per_group", "agg_session_window_batch"]
+
+
+def run_window_skew_probe(args) -> None:
+    """VERDICT r7 item 7: the window family under a 30%-hot-key twin.
+    Joins/aggs/LSH/vectors are skew-probed; this adds per-key window
+    operators. Forcing uses sum(hash(all cols)) so column pruning cannot
+    delete the window under a bare count()."""
+    registry.load_all()
+    spark = get_spark(
+        "scale-probe-winskew", extra_conf={"spark.ui.enabled": "true"}
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    uniform_dir = replicate(spark, args.src, args.mult)
+    skew_dir, hot_user, hot_cust = replicate_hotkey_window(
+        spark, args.src, args.mult
+    )
+
+    def timed(name: str, sf_dir: str) -> float:
+        t0 = time.perf_counter()
+        df = registry.QUERIES[name](spark, sf_dir)
+        df.agg(
+            F.sum(F.hash(*[F.col(c) for c in df.columns]).cast("long"))
+        ).collect()
+        return round(time.perf_counter() - t0, 3)
+
+    timed("win_running_sum", uniform_dir)  # warm
+    uniform = {n: timed(n, uniform_dir) for n in WINDOW_SKEW_PROBES}
+    skew_times, task_skew = {}, {}
+    for n in WINDOW_SKEW_PROBES:
+        stage_floor = _max_stage_id(spark)
+        skew_times[n] = timed(n, skew_dir)
+        task_skew[n] = _task_skew_from_rest(spark, stage_floor + 1)
+
+    print(
+        json.dumps(
+            {
+                "mult": args.mult,
+                "hot_user": hot_user,
+                "hot_custkey": hot_cust,
+                "uniform_sec": uniform,
+                "skewed_sec": skew_times,
+                "wall_ratio": {
+                    n: round(skew_times[n] / max(uniform[n], 1e-9), 2)
+                    for n in WINDOW_SKEW_PROBES
+                },
+                "task_skew_max_over_median": task_skew,
+                "note": (
+                    "skewed fixture: one user_id / o_custkey holds ~30% of a "
+                    f"{args.mult}x fact table; gate: task max/median < 4"
+                ),
+            }
+        )
+    )
+
+
 def _max_stage_id(spark) -> int:
     import urllib.request
 
@@ -532,10 +640,18 @@ def main() -> None:
         "--vecskew", action="store_true",
         help="probe hot-IVF-cell skew for the embedding family",
     )
+    ap.add_argument(
+        "--winskew", action="store_true",
+        help="probe hot-key skew for the per-key window family",
+    )
     args = ap.parse_args()
 
     if args.skew:
         run_skew_probe(args)
+        return
+
+    if args.winskew:
+        run_window_skew_probe(args)
         return
 
     if args.vecskew:
