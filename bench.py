@@ -102,6 +102,14 @@ HEADLINE = [
     "spatial_knn_bounded",
     "agg_ad_ksample",
     "sim_kernel_herding",
+    # round 8: perf canaries for the global-window scale rework — the
+    # sharded-prefix-rank quantile normalization (two rank maps + an
+    # index equi-join, no single-partition window), the distinct-value
+    # collapsed Spearman (two small rank joins), and the weighted-EDF
+    # hazard profile (distinct-gap frame + broadcast decile edges)
+    "model_quantile_normalization",
+    "agg_spearman_rho",
+    "events_hazard_profile",
 ]
 
 

@@ -229,9 +229,14 @@ def model_quantile_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: ranks are total orders (value, doc_id); interpolation is
     a fixed float chain; ROUND 6.
 
-    Scale shape: two rank windows (per-source, pooled) + an equi-join on
-    the floor index — no cross product; at 100 TB the pooled ranking is
-    the dominant sort, exactly like any global quantile computation."""
+    Scale shape (r8 rework, VERDICT r7 item 4): the per-source rank is a
+    partitioned window (parallel per key); the POOLED rank uses the
+    two-phase sharded prefix rank (rank within equal values +
+    distinct-value cumulative offsets, rank_utils.global_row_index) —
+    bit-identical to the single-partition row_number, no corpus-sized
+    window partition — then an equi-join on the floor index."""
+    from data_ingestor_web_app_spark.operators.rank_utils import global_row_index
+
     d = table(spark, sf_dir, "documents").select(
         "doc_id", "source", (F.col("n_chars") * 1.0).alias("v")
     )
@@ -243,10 +248,9 @@ def model_quantile_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(wg).alias("r"),
         F.count("*").over(Window.partitionBy("source")).cast("long").alias("m"),
     )
-    wp = Window.orderBy("v", "doc_id")
-    pooled = d.select(
-        "v", (F.row_number().over(wp) - 1).alias("i")
-    ).select(F.col("v").alias("pv"), "i")
+    pooled = global_row_index(d.select("v", "doc_id"), "v", "doc_id").select(
+        F.col("v").alias("pv"), (F.col("__i") - 1).alias("i")
+    )
     n_total = d.count()
     pos = grp.select(
         "doc_id",

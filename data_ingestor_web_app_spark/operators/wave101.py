@@ -153,15 +153,25 @@ def model_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(mu), "o_orderpriority")
         .select(F.abs(F.col("cents") - F.col("pred")).alias("resid"))
     )
-    w = Window.orderBy("resid")
-    q = (
-        calib.select(
-            "resid",
-            F.row_number().over(w).alias("rn"),
-            F.count("*").over(Window.partitionBy()).alias("c"),
-        )
-        .where(F.col("rn") == F.least(F.col("c"), F.ceil(0.9 * (F.col("c") + 1)).cast("long")))
-        .select(F.col("resid").alias("qhat"))
+    # r8 rework (VERDICT r7 item 4): rank-select q-hat from the distinct-
+    # residual cumulative-count frame — the global window's input is an
+    # Aggregate, never raw calibration rows.
+    rv = calib.groupBy("resid").agg(F.count("*").cast("long").alias("k"))
+    wv = Window.orderBy("resid")
+    cum = rv.select(
+        "resid",
+        (F.sum("k").over(wv) - F.col("k")).alias("below"),
+        F.sum("k").over(wv).alias("upto"),
+        F.sum("k").over(Window.partitionBy()).alias("c"),
+    )
+    rank = F.least(F.col("c"), F.ceil(0.9 * (F.col("c") + 1)).cast("long"))
+    q = cum.agg(
+        F.min(
+            F.when(
+                (F.col("below") < rank) & (rank <= F.col("upto")),
+                F.col("resid"),
+            )
+        ).alias("qhat")
     )
     test = (
         base.where(F.col("split") == 2)

@@ -131,21 +131,37 @@ def agg_l_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     integers (HUGEINT / DECIMAL(38,0) — they pass 2^63 at sf0.1) cast
     ONCE to double; ratios are fixed formulas rounded.
 
-    Scale shape: one global sort for ranks (range-partitioned at
-    scale), one moment aggregate. Classical-moment fallback needs no
-    sort — the sort IS the price of robustness, stated honestly."""
-    ranked = table(spark, sf_dir, "orders").select(
-        F.round(F.col("o_totalprice") * 100).cast("long").alias("x"),
-        F.row_number().over(Window.orderBy("o_totalprice", "o_orderkey")).alias("i"),
-        F.count("*").over(Window.partitionBy()).alias("n"),
+    Scale shape (r8 rework, VERDICT r7 item 4): collapse to distinct
+    cents + counts FIRST; tied rows at x occupy ranks (below, upto], and
+    the rank-weight sums over that range have exact closed forms
+    (Σ(i-1) = S1 - k, Σ(i-1)(i-2) = S2 - 3·S1 + 2k with square/cube
+    identities in decimal(38,0)) — EXACT integers either way, so the
+    oracle's per-row rank form matches bit-for-bit while the global
+    cumulative window's input is an Aggregate, never raw rows."""
+    vals = (
+        table(spark, sf_dir, "orders")
+        .groupBy(F.round(F.col("o_totalprice") * 100).cast("long").alias("x"))
+        .agg(F.count("*").cast("long").alias("k"))
     )
-    sums = ranked.agg(
-        F.max("n").cast("long").alias("n"),
-        F.sum("x").cast("long").alias("b0n"),
-        F.sum((F.col("i") - 1).cast("decimal(38,0)") * F.col("x")).cast("double").alias("w1"),
-        F.sum(
-            (F.col("i") - 1).cast("decimal(38,0)") * (F.col("i") - 2) * F.col("x")
-        )
+    wv = Window.orderBy("x")
+    cum = vals.select(
+        "x",
+        "k",
+        (F.sum("k").over(wv) - F.col("k")).alias("below"),
+        F.sum("k").over(wv).alias("upto"),
+    )
+    up = F.col("upto").cast("decimal(38,0)")
+    lo = F.col("below").cast("decimal(38,0)")
+    s1 = (up * (F.col("upto") + 1) - lo * (F.col("below") + 1)) / 2
+    s2 = (
+        up * (F.col("upto") + 1) * (2 * F.col("upto") + 1)
+        - lo * (F.col("below") + 1) * (2 * F.col("below") + 1)
+    ) / 6
+    sums = cum.agg(
+        F.sum("k").cast("long").alias("n"),
+        F.sum(F.col("k") * F.col("x")).cast("long").alias("b0n"),
+        F.sum((s1 - F.col("k")) * F.col("x")).cast("double").alias("w1"),
+        F.sum((s2 - 3 * s1 + 2 * F.col("k")) * F.col("x"))
         .cast("double")
         .alias("w2"),
     )

@@ -83,37 +83,43 @@ def agg_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     undoes the rank doubling: (R*2)² / (4n)); the tie term Σ(t³-t) is
     an exact integer; display rounds 6dp.
 
-    Scale shape: one global rank window (range-partitioned sort), one
-    conditional aggregate, a tiny tie groupBy."""
+    Scale shape (r8 rework, VERDICT r7 item 4): collapse to distinct
+    cents with per-priority tie counts FIRST; every row tied at v
+    carries the same doubled midrank 2·below(v) + t(v) + 1, so the five
+    rank sums are weighted sums over the distinct-value frame — the
+    global cumulative window's input is an Aggregate, never raw rows,
+    and the tie term rides the same collapsed frame."""
     vals = table(spark, sf_dir, "orders").select(
         F.col("o_orderpriority").alias("grp"),
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
     )
-    ranked = vals.select(
-        "grp",
-        (
-            2 * F.rank().over(Window.orderBy("cents"))
-            + F.count("*").over(Window.partitionBy("cents"))
-            - 1
-        )
-        .cast("long")
-        .alias("dblrank"),
-    )
-    aggs = [F.count("*").cast("long").alias("n")]
-    for i, p in enumerate(_PRIORITIES):
-        aggs.append(
-            F.sum(F.when(F.col("grp") == p, F.col("dblrank")).otherwise(0))
+    per_cents = vals.groupBy("cents").agg(
+        F.count("*").cast("long").alias("t"),
+        *[
+            F.sum(F.when(F.col("grp") == p, 1).otherwise(0))
             .cast("long")
-            .alias(f"r2_{i}")
-        )
+            .alias(f"k_{i}")
+            for i, p in enumerate(_PRIORITIES)
+        ],
+    )
+    wv = Window.orderBy("cents")
+    cum = per_cents.select(
+        "t",
+        *[f"k_{i}" for i in range(len(_PRIORITIES))],
+        (F.sum("t").over(wv) - F.col("t")).alias("below"),
+    )
+    dblrank = 2 * F.col("below") + F.col("t") + 1
+    aggs = [F.sum("t").cast("long").alias("n")]
+    for i in range(len(_PRIORITIES)):
         aggs.append(
-            F.sum(F.when(F.col("grp") == p, 1).otherwise(0)).cast("long").alias(f"n_{i}")
+            F.sum(F.col(f"k_{i}") * dblrank).cast("long").alias(f"r2_{i}")
         )
-    piv = ranked.agg(*aggs)
-    ties = (
-        vals.groupBy("cents")
-        .agg(F.count("*").cast("long").alias("t"))
-        .agg(F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).cast("long").alias("tsum"))
+        aggs.append(F.sum(f"k_{i}").cast("long").alias(f"n_{i}"))
+    piv = cum.agg(*aggs)
+    ties = per_cents.agg(
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("long")
+        .alias("tsum")
     )
 
     def h_term(i):

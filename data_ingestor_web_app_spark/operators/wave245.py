@@ -105,18 +105,24 @@ def events_mg1_pollaczek(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "events_inspection_paradox",
     oracle="""
-    WITH ordered AS (
-        SELECT epoch_us(ts) - LAG(epoch_us(ts)) OVER (ORDER BY ts, event_id)
-                   AS gap_us
-        FROM events
+    WITH dts AS (
+        SELECT ts, CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY ts
     ),
-    gaps AS (SELECT gap_us / 1000000.0 AS g FROM ordered
-             WHERE gap_us IS NOT NULL),
+    d AS (
+        SELECT epoch_us(ts) - LAG(epoch_us(ts)) OVER (ORDER BY ts) AS du
+        FROM dts
+    ),
     mom AS (
-        SELECT CAST(COUNT(*) AS BIGINT) AS n,
-               AVG(g) AS eg,
-               AVG(g * g) AS eg2
-        FROM gaps
+        SELECT CAST((SELECT SUM(c) FROM dts) - 1 AS BIGINT) AS n,
+               CAST(SUM(du) AS BIGINT) AS sum_us,
+               SUM(CAST(du AS HUGEINT) * du) AS sum_us2
+        FROM d WHERE du IS NOT NULL
+    ),
+    eg AS (
+        SELECT n,
+               CAST(sum_us AS DOUBLE) / n / 1000000.0 AS eg,
+               CAST(sum_us2 AS DOUBLE) / n / 1000000000000.0 AS eg2
+        FROM mom
     )
     SELECT n AS n_gaps,
            ROUND(eg, 6) AS mean_gap_s,
@@ -124,7 +130,7 @@ def events_mg1_pollaczek(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(eg2 / (eg * eg), 6) AS inspection_ratio,
            ROUND((eg2 - eg * eg) / (eg * eg), 6) AS cv2_gap,
            ROUND(eg2 / (2 * eg), 6) AS mean_residual_life_s
-    FROM mom
+    FROM eg
     """,
 )
 def events_inspection_paradox(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -142,25 +148,40 @@ def events_inspection_paradox(spark: SparkSession, sf_dir: str) -> DataFrame:
     totally ordered lag window ((ts, event_id) tie-break); one-pass
     moments; five rounded chains.
 
-    Scale shape: the lag window orders by time — at 100 TB it
-    partitions by day/shard first (the dq_sequence_gap_audit pattern);
-    moments combine map-side."""
+    Scale shape (r8 rework, VERDICT r7 item 4): the gap multiset's
+    moments only — same-ts events contribute exactly zero gaps (count
+    toward n, add nothing to the sums), so the lag runs over the
+    distinct-ts frame (a window over an Aggregate, never raw rows) and
+    the micro-gap sums stay EXACT integers (decimal(38,0)/HUGEINT for
+    the squares) in both engines, divided once at the end."""
     e = table(spark, sf_dir, "events")
-    w = Window.orderBy("ts", "event_id")
-    gaps = (
-        e.select(
-            (
-                F.expr("unix_micros(ts)")
-                - F.lag(F.expr("unix_micros(ts)")).over(w)
-            ).alias("gap_us")
+    dts = e.groupBy("ts").agg(F.count("*").cast("long").alias("c"))
+    w = Window.orderBy("ts")
+    d = dts.select(
+        (
+            F.expr("unix_micros(ts)") - F.lag(F.expr("unix_micros(ts)")).over(w)
+        ).alias("du")
+    ).where(F.col("du").isNotNull())
+    n_events = dts.agg(F.sum("c").cast("long").alias("ne"))
+    mom = (
+        d.agg(
+            F.sum("du").cast("long").alias("sum_us"),
+            F.sum(F.col("du").cast("decimal(38,0)") * F.col("du")).alias(
+                "sum_us2"
+            ),
         )
-        .where(F.col("gap_us").isNotNull())
-        .select((F.col("gap_us") / 1000000.0).alias("g"))
-    )
-    mom = gaps.agg(
-        F.count("*").cast("long").alias("n"),
-        F.avg("g").alias("eg"),
-        F.avg(F.col("g") * F.col("g")).alias("eg2"),
+        .crossJoin(F.broadcast(n_events))
+        .select(
+            (F.col("ne") - 1).alias("n"),
+            (
+                F.col("sum_us").cast("double") / (F.col("ne") - 1) / 1000000.0
+            ).alias("eg"),
+            (
+                F.col("sum_us2").cast("double")
+                / (F.col("ne") - 1)
+                / 1000000000000.0
+            ).alias("eg2"),
+        )
     )
     return mom.select(
         F.col("n").alias("n_gaps"),

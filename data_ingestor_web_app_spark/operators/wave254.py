@@ -20,24 +20,37 @@ _TWO_PI = 2.0 * math.pi
 @query(
     "agg_watson_u2",
     oracle="""
-    WITH u AS (
-        SELECT (epoch_us(ts) % 86400000000) / 86400000000.0 AS u
-        FROM events
+    WITH m AS (
+        SELECT epoch_us(ts) % 86400000000 AS mu FROM events
     ),
-    ranked AS (
-        SELECT u,
-               ROW_NUMBER() OVER (ORDER BY u, 1) AS i,
-               CAST(COUNT(*) OVER () AS BIGINT) AS n
-        FROM u
+    vals AS (
+        SELECT mu, CAST(COUNT(*) AS BIGINT) AS k
+        FROM m GROUP BY mu
+    ),
+    cum AS (
+        SELECT mu / 86400000000.0 AS v, k,
+               SUM(k) OVER (ORDER BY mu) - k AS below,
+               SUM(k) OVER (ORDER BY mu) AS upto,
+               SUM(k) OVER () AS n
+        FROM vals
+    ),
+    terms AS (
+        SELECT n, k, v,
+               CAST(CAST(upto AS HUGEINT) * upto
+                    - CAST(below AS HUGEINT) * below AS DOUBLE) AS sum_odd,
+               CAST((4 * CAST(upto AS HUGEINT) * upto * upto - upto
+                     - (4 * CAST(below AS HUGEINT) * below * below - below))
+                    / 3 AS DOUBLE) AS sum_odd2
+        FROM cum
     ),
     parts AS (
         SELECT n,
-               SUM((u - (2.0 * i - 1) / (2 * n))
-                   * (u - (2.0 * i - 1) / (2 * n))) AS ss,
-               AVG(u) AS ubar
-        FROM ranked GROUP BY n
+               SUM(k * v * v - v * sum_odd / n
+                   + sum_odd2 / (4.0 * n * n)) AS ss,
+               SUM(k * v) / MAX(n) AS ubar
+        FROM terms GROUP BY n
     )
-    SELECT n AS n_obs,
+    SELECT CAST(n AS BIGINT) AS n_obs,
            ROUND(ubar, 6) AS mean_frac,
            ROUND(ss - n * (ubar - 0.5) * (ubar - 0.5) + 1.0 / (12 * n), 6)
                AS watson_u2,
@@ -61,21 +74,45 @@ def agg_watson_u2(spark: SparkSession, sf_dir: str) -> DataFrame:
     row_number; one rounded chain; the flag compares the identical
     unrounded statistic.
 
-    Scale shape: one global sort-rank window over the scan (at 100 TB:
-    the two-phase sharded prefix-rank), one 1-row aggregate."""
-    u = table(spark, sf_dir, "events").select(
+    Scale shape (r8 rework, VERDICT r7 item 4): collapse to distinct
+    day-micros + counts FIRST; the tied order-statistic indices
+    i in (below, upto] contribute Σ(2i-1) = upto²-below² and
+    Σ(2i-1)² = (4·upto³-upto)/3 - (4·below³-below)/3 — exact integers
+    via square/cube identities (decimal(38,0), always divisible by 3)
+    — so the CvM sum is a weighted sum over the distinct-value frame
+    and the global cumulative window's input is an Aggregate, never
+    raw rows. Oracle computes the structurally identical expression
+    for tight float parity."""
+    m = table(spark, sf_dir, "events").select(
+        F.expr("unix_micros(ts) % 86400000000").alias("mu")
+    )
+    vals = m.groupBy("mu").agg(F.count("*").cast("long").alias("k"))
+    wv = Window.orderBy("mu")
+    cum = vals.select(
+        (F.col("mu") / 86400000000.0).alias("v"),
+        "k",
+        (F.sum("k").over(wv) - F.col("k")).alias("below"),
+        F.sum("k").over(wv).alias("upto"),
+        F.sum("k").over(Window.partitionBy()).alias("n"),
+    )
+    up = F.col("upto").cast("decimal(38,0)")
+    lo = F.col("below").cast("decimal(38,0)")
+    sum_odd = (up * F.col("upto") - lo * F.col("below")).cast("double")
+    sum_odd2 = (
         (
-            F.expr("unix_micros(ts) % 86400000000") / 86400000000.0
-        ).alias("u")
+            (4 * up * F.col("upto") * F.col("upto") - F.col("upto"))
+            - (4 * lo * F.col("below") * F.col("below") - F.col("below"))
+        )
+        / 3
+    ).cast("double")
+    term = (
+        F.col("k") * F.col("v") * F.col("v")
+        - F.col("v") * sum_odd / F.col("n")
+        + sum_odd2 / (4.0 * F.col("n") * F.col("n"))
     )
-    ranked = u.select(
-        "u",
-        F.row_number().over(Window.orderBy("u")).alias("i"),
-        F.count("*").over(Window.partitionBy()).cast("long").alias("n"),
-    )
-    dev = F.col("u") - (2.0 * F.col("i") - 1) / (2 * F.col("n"))
-    parts = ranked.groupBy("n").agg(
-        F.sum(dev * dev).alias("ss"), F.avg("u").alias("ubar")
+    parts = cum.groupBy("n").agg(
+        F.sum(term).alias("ss"),
+        (F.sum(F.col("k") * F.col("v")) / F.max("n")).alias("ubar"),
     )
     u2 = (
         F.col("ss")

@@ -62,17 +62,21 @@ def model_duane_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     micros-derived hours; the flag compares the identical unrounded
     slope.
 
-    Scale shape: one ordered window over the error subset, one moment
-    aggregate — per-component Duane plots just add the component key."""
+    Scale shape (r8 rework, VERDICT r7 item 4): failure ordinals come
+    from the two-phase sharded prefix rank (rank within equal ts +
+    distinct-ts cumulative offsets, rank_utils.global_row_index) —
+    bit-identical to the single-partition row_number, no corpus-sized
+    window partition — then one moment aggregate."""
+    from data_ingestor_web_app_spark.operators.rank_utils import global_row_index
+
     e = table(spark, sf_dir, "events")
-    fails = (
-        e.where(F.col("event_type") == "error")
-        .select(
-            F.expr("unix_micros(ts)").alias("t"),
-            F.row_number()
-            .over(Window.orderBy("ts", "event_id"))
-            .alias("n"),
-        )
+    fails = global_row_index(
+        e.where(F.col("event_type") == "error").select("ts", "event_id"),
+        "ts",
+        "event_id",
+    ).select(
+        F.expr("unix_micros(ts)").alias("t"),
+        F.col("__i").alias("n"),
     )
     t0 = e.agg(F.min(F.expr("unix_micros(ts)")).alias("start_t"))
     hours = (F.col("t") - F.col("start_t")) / 3600000000.0

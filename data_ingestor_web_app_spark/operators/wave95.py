@@ -187,9 +187,12 @@ def agg_cliffs_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed double formula over integer sums, rounded 6dp. No float
     exists before the final division.
 
-    Scale shape: one global rank (range-partitioned sort at scale,
-    same as NTILE) + tie counts via a partition window + one scalar
-    aggregate."""
+    Scale shape (r8 rework, VERDICT r7 item 4): collapse to distinct
+    cents + per-group tie counts FIRST (one partial-agg shuffle); every
+    tied row at value v carries the same doubled midrank
+    2·below(v) + k(v) + 1, so the group-1 rank sum is one weighted sum
+    over the distinct-value frame — the global cumulative window's
+    input is an Aggregate, never raw corpus rows."""
     vals = (
         table(spark, sf_dir, "orders")
         .where(F.col("o_orderpriority").isin("1-URGENT", "5-LOW"))
@@ -198,22 +201,30 @@ def agg_cliffs_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
         )
     )
-    ranked = vals.select(
-        "grp",
-        (
-            2 * F.rank().over(Window.orderBy("cents"))
-            + F.count("*").over(Window.partitionBy("cents"))
-            - 1
+    pc = vals.groupBy("cents").agg(
+        F.sum(F.when(F.col("grp") == "1-URGENT", 1).otherwise(0))
+        .cast("long")
+        .alias("k1"),
+        F.sum(F.when(F.col("grp") == "5-LOW", 1).otherwise(0))
+        .cast("long")
+        .alias("k2"),
+    )
+    wv = Window.orderBy("cents")
+    k = F.col("k1") + F.col("k2")
+    cum = pc.select(
+        "k1",
+        "k2",
+        (F.sum(k).over(wv) - k).alias("below"),
+    )
+    # doubled midrank of every row tied at v: 2*(below+1) + (k-1) = 2*below+k+1
+    sums = cum.agg(
+        F.sum(
+            F.col("k1") * (2 * F.col("below") + F.col("k1") + F.col("k2") + 1)
         )
         .cast("long")
-        .alias("dblrank"),
-    )
-    sums = ranked.agg(
-        F.sum(F.when(F.col("grp") == "1-URGENT", F.col("dblrank")).otherwise(0))
-        .cast("long")
         .alias("r1x2"),
-        F.sum(F.when(F.col("grp") == "1-URGENT", 1).otherwise(0)).cast("long").alias("n1"),
-        F.sum(F.when(F.col("grp") == "5-LOW", 1).otherwise(0)).cast("long").alias("n2"),
+        F.sum("k1").cast("long").alias("n1"),
+        F.sum("k2").cast("long").alias("n2"),
     )
     u1x2 = F.col("r1x2") - F.col("n1") * (F.col("n1") + 1)
     return sums.select(

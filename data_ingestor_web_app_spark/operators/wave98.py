@@ -166,27 +166,42 @@ def agg_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
     cast ONCE to double; rho is one fixed formula rounded 6dp (the
     doubling cancels between numerator and denominator).
 
-    Scale shape: two global rank windows (range-partitioned sorts at
-    scale) + one scalar moment aggregate."""
+    Scale shape (r8 rework, VERDICT r7 item 4): every row tied at value
+    v carries the same doubled midrank 2·below(v) + k(v) + 1, so both
+    rank maps come from distinct-VALUE cumulative-count frames (windows
+    over Aggregates, never raw corpus rows) and the moment sums are
+    weighted by the distinct (q, p) pair counts — two small joins on
+    the collapsed pair frame instead of two corpus-wide rank windows."""
     vals = table(spark, sf_dir, "lineitem").select(
         F.col("l_quantity").cast("long").alias("q"),
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("p"),
     )
-    ranked = vals.select(
-        (2 * F.rank().over(Window.orderBy("q")) + F.count("*").over(Window.partitionBy("q")) - 1)
+    pairs = vals.groupBy("q", "p").agg(F.count("*").cast("long").alias("k"))
+    qs = pairs.groupBy("q").agg(F.sum("k").cast("long").alias("kq"))
+    wq = Window.orderBy("q")
+    rxs = qs.select(
+        "q",
+        (2 * (F.sum("kq").over(wq) - F.col("kq")) + F.col("kq") + 1)
         .cast("long")
         .alias("rx"),
-        (2 * F.rank().over(Window.orderBy("p")) + F.count("*").over(Window.partitionBy("p")) - 1)
+    )
+    ps = pairs.groupBy("p").agg(F.sum("k").cast("long").alias("kp"))
+    wp = Window.orderBy("p")
+    rys = ps.select(
+        "p",
+        (2 * (F.sum("kp").over(wp) - F.col("kp")) + F.col("kp") + 1)
         .cast("long")
         .alias("ry"),
     )
-    m = ranked.agg(
-        F.count("*").cast("long").alias("n"),
-        F.sum("rx").cast("long").alias("sx"),
-        F.sum("ry").cast("long").alias("sy"),
-        F.sum(F.col("rx").cast("decimal(38,0)") * F.col("rx")).cast("double").alias("sxx"),
-        F.sum(F.col("ry").cast("decimal(38,0)") * F.col("ry")).cast("double").alias("syy"),
-        F.sum(F.col("rx").cast("decimal(38,0)") * F.col("ry")).cast("double").alias("sxy"),
+    joined = pairs.join(rxs, "q").join(rys, "p")
+    kd = F.col("k").cast("decimal(38,0)")
+    m = joined.agg(
+        F.sum("k").cast("long").alias("n"),
+        F.sum(F.col("k") * F.col("rx")).cast("long").alias("sx"),
+        F.sum(F.col("k") * F.col("ry")).cast("long").alias("sy"),
+        F.sum(kd * F.col("rx") * F.col("rx")).cast("double").alias("sxx"),
+        F.sum(kd * F.col("ry") * F.col("ry")).cast("double").alias("syy"),
+        F.sum(kd * F.col("rx") * F.col("ry")).cast("double").alias("sxy"),
     )
     num = F.col("sxy") - F.col("sx").cast("double") * F.col("sy") / F.col("n")
     den = F.sqrt(

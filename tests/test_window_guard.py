@@ -37,26 +37,16 @@ ALLOWED: dict[str, str] = {
     "events_lindley_departures": "Lindley departure smoothing, same replay",
     "events_jackson_tandem": "tandem-queue replay over time-ordered arrivals",
     "events_bandit_replay_greedy": "bandit replay is sequential by definition",
-    "events_inspection_paradox": "interarrival gaps need the global arrival order",
     "events_ww_runs_two_sample": "runs test needs the merged sample's global order",
-    # Global rank / EDF over a raw fact table: candidates for the
-    # aggregate-collapse rework (distinct-value cumulative counts); until
-    # then the bound is the fixture/fact-table size and the documented
-    # range-partitioned-sort posture in each docstring.
-    "agg_watson_u2": "EDF statistic over distinct values; collapse pending",
-    "agg_spearman_rho": "double rank over paired columns; collapse pending",
-    "agg_l_moments": "L-moment weights are rank polynomials; collapse pending",
-    "agg_kruskal_wallis": "rank-sum over pooled sample; collapse pending",
-    "agg_cliffs_delta": "rank-based dominance; collapse pending",
-    "model_weibull_plot_fit": "median-rank plot needs failure-order ranks",
-    "model_quantile_normalization": "rank-to-quantile map; collapse pending",
-    "model_qini_uplift": "uplift curve walks the score-sorted population",
-    "model_mcc_score": "threshold sweep walks the score-sorted population",
-    "model_gains_table": "gains deciles walk the score-sorted population",
-    "model_conformal_interval": "conformal quantile is an order statistic",
-    "model_duane_growth": "cumulative MTBF walks failures in time order",
-    "model_aic_bic_ladder": "ladder ranks a handful of models by score",
-    "opt_fractional_knapsack": "greedy walks items by density; top-k shaped",
+    # Bounded-by-construction inputs the leaf heuristic cannot see:
+    "model_aic_bic_ladder": "window over a 3-row literal model frame (LogicalRDD)",
+    "opt_fractional_knapsack": "explicit p_partkey <= 50 literal filter bounds the item set",
+    # r8 reworked OFF this list (aggregate-collapse / sharded prefix rank):
+    # agg_bowley_skewness, agg_median_ci_orderstat, events_hazard_profile,
+    # agg_cliffs_delta, agg_spearman_rho, agg_kruskal_wallis, agg_watson_u2,
+    # agg_l_moments, model_qini_uplift, model_mcc_score, model_gains_table,
+    # model_conformal_interval, model_quantile_normalization,
+    # model_duane_growth, model_weibull_plot_fit, events_inspection_paradox.
 }
 
 
