@@ -385,6 +385,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.llm.wave266",
     "data_ingestor_web_app_spark.operators.wave268",
     "data_ingestor_web_app_spark.operators.wave294",
+    "data_ingestor_web_app_spark.operators.wave295",
 ]
 
 
