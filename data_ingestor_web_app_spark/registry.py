@@ -386,6 +386,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave268",
     "data_ingestor_web_app_spark.operators.wave294",
     "data_ingestor_web_app_spark.operators.wave295",
+    "data_ingestor_web_app_spark.operators.wave296",
 ]
 
 
