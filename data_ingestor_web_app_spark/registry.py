@@ -387,6 +387,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave294",
     "data_ingestor_web_app_spark.operators.wave295",
     "data_ingestor_web_app_spark.operators.wave296",
+    "data_ingestor_web_app_spark.llm.wave297",
 ]
 
 
