@@ -388,6 +388,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave295",
     "data_ingestor_web_app_spark.operators.wave296",
     "data_ingestor_web_app_spark.llm.wave297",
+    "data_ingestor_web_app_spark.operators.wave298",
 ]
 
 
