@@ -390,6 +390,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.llm.wave297",
     "data_ingestor_web_app_spark.operators.wave298",
     "data_ingestor_web_app_spark.operators.wave299",
+    "data_ingestor_web_app_spark.operators.wave300",
 ]
 
 
