@@ -391,6 +391,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave298",
     "data_ingestor_web_app_spark.operators.wave299",
     "data_ingestor_web_app_spark.operators.wave300",
+    "data_ingestor_web_app_spark.operators.wave301",
 ]
 
 
