@@ -392,6 +392,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave299",
     "data_ingestor_web_app_spark.operators.wave300",
     "data_ingestor_web_app_spark.operators.wave301",
+    "data_ingestor_web_app_spark.operators.wave302",
 ]
 
 
