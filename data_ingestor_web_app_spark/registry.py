@@ -394,6 +394,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave301",
     "data_ingestor_web_app_spark.operators.wave302",
     "data_ingestor_web_app_spark.llm.wave303",
+    "data_ingestor_web_app_spark.llm.wave304",
 ]
 
 
