@@ -396,6 +396,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.llm.wave303",
     "data_ingestor_web_app_spark.llm.wave304",
     "data_ingestor_web_app_spark.operators.wave305",
+    "data_ingestor_web_app_spark.operators.wave306",
 ]
 
 
