@@ -397,6 +397,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.llm.wave304",
     "data_ingestor_web_app_spark.operators.wave305",
     "data_ingestor_web_app_spark.operators.wave306",
+    "data_ingestor_web_app_spark.operators.wave307",
 ]
 
 
