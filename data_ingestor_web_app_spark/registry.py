@@ -398,6 +398,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave305",
     "data_ingestor_web_app_spark.operators.wave306",
     "data_ingestor_web_app_spark.operators.wave307",
+    "data_ingestor_web_app_spark.llm.wave308",
 ]
 
 
