@@ -304,6 +304,9 @@ def events_hazard_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(zeros)
         .groupBy("g")
         .agg(F.sum("w").cast("long").alias("w"))
+        .cache()  # reused by the edge walk AND the band counts — without
+        # this the distinct-ts lag chain runs twice (bounded: one row per
+        # DISTINCT gap value)
     )
     wg = Window.orderBy("g")
     cum = gw.select(
@@ -364,7 +367,8 @@ def events_hazard_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             for q in range(0, 10)
         ],
     )
-    base = counts.crossJoin(F.broadcast(edges))
+    # one row; cached because the 10 per-decile branches below each read it
+    base = counts.crossJoin(F.broadcast(edges)).cache()
     rows = []
     for q in range(0, 10):
         lo = F.col(f"e{q}")
