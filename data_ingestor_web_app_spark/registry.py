@@ -399,6 +399,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave306",
     "data_ingestor_web_app_spark.operators.wave307",
     "data_ingestor_web_app_spark.llm.wave308",
+    "data_ingestor_web_app_spark.operators.wave309",
 ]
 
 
