@@ -400,6 +400,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave307",
     "data_ingestor_web_app_spark.llm.wave308",
     "data_ingestor_web_app_spark.operators.wave309",
+    "data_ingestor_web_app_spark.operators.wave310",
 ]
 
 
