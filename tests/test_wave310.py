@@ -71,5 +71,11 @@ def test_effect_size_ladder_and_ordering(spark):
     assert abs(row["omega_squared"] - omega2) < 1e-5
     assert abs(row["epsilon_squared"] - eps2) < 1e-5
     assert abs(row["f_stat"] - f) < 1e-3
-    # the textbook bias ordering
-    assert row["eta_squared"] >= row["epsilon_squared"] >= row["omega_squared"]
+    # the textbook bias ordering: eta2 never understates, and omega2's
+    # larger denominator pulls the estimate toward zero FROM EITHER SIDE
+    # (this fixture's effect is ~0 and the unbiased estimates go slightly
+    # negative, so the naive eta >= eps >= omega chain only holds for the
+    # first link plus the magnitude link)
+    assert row["eta_squared"] >= row["epsilon_squared"]
+    assert abs(row["omega_squared"]) <= abs(row["epsilon_squared"]) + 1e-9
+    assert (row["omega_squared"] >= 0) == (row["epsilon_squared"] >= 0)
