@@ -402,6 +402,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave309",
     "data_ingestor_web_app_spark.operators.wave310",
     "data_ingestor_web_app_spark.operators.wave311",
+    "data_ingestor_web_app_spark.operators.wave312",
 ]
 
 
