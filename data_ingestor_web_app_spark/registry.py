@@ -403,6 +403,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave310",
     "data_ingestor_web_app_spark.operators.wave311",
     "data_ingestor_web_app_spark.operators.wave312",
+    "data_ingestor_web_app_spark.operators.wave313",
 ]
 
 

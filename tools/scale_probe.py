@@ -42,6 +42,11 @@ PROBES = [
     # excluded for the same reason as attribution)
     "agg_session_window_batch", "snapshot_diff", "upsert_merge_actions",
     "agg_ks_test", "agg_rfm_segments", "events_mau_28d_bitmap",
+    # round 8: the global-window rework patterns under 16x volume —
+    # distinct-value collapse (palma: value alphabet constant, counts
+    # scale), sharded prefix rank (gains_table: rank-within-value +
+    # offsets), and the double-collapse Spearman (two small rank joins)
+    "agg_palma_ratio", "model_gains_table", "agg_spearman_rho",
 ]
 
 
