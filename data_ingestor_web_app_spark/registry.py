@@ -405,6 +405,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave312",
     "data_ingestor_web_app_spark.operators.wave313",
     "data_ingestor_web_app_spark.operators.wave314",
+    "data_ingestor_web_app_spark.operators.wave315",
 ]
 
 
