@@ -406,6 +406,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave313",
     "data_ingestor_web_app_spark.operators.wave314",
     "data_ingestor_web_app_spark.operators.wave315",
+    "data_ingestor_web_app_spark.operators.wave316",
 ]
 
 
