@@ -409,6 +409,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave316",
     "data_ingestor_web_app_spark.llm.wave317",
     "data_ingestor_web_app_spark.operators.wave318",
+    "data_ingestor_web_app_spark.operators.wave319",
 ]
 
 
