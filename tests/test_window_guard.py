@@ -37,7 +37,6 @@ ALLOWED: dict[str, str] = {
     "events_lindley_departures": "Lindley departure smoothing, same replay",
     "events_jackson_tandem": "tandem-queue replay over time-ordered arrivals",
     "events_bandit_replay_greedy": "bandit replay is sequential by definition",
-    "events_ww_runs_two_sample": "runs test needs the merged sample's global order",
     # Bounded-by-construction inputs the leaf heuristic cannot see:
     "model_aic_bic_ladder": "window over a 3-row literal model frame (LogicalRDD)",
     "opt_fractional_knapsack": "explicit p_partkey <= 50 literal filter bounds the item set",
@@ -46,7 +45,8 @@ ALLOWED: dict[str, str] = {
     # agg_cliffs_delta, agg_spearman_rho, agg_kruskal_wallis, agg_watson_u2,
     # agg_l_moments, model_qini_uplift, model_mcc_score, model_gains_table,
     # model_conformal_interval, model_quantile_normalization,
-    # model_duane_growth, model_weibull_plot_fit, events_inspection_paradox.
+    # model_duane_growth, model_weibull_plot_fit, events_inspection_paradox,
+    # events_ww_runs_two_sample (label-block collapse).
 }
 
 
