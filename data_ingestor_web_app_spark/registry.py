@@ -410,6 +410,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.llm.wave317",
     "data_ingestor_web_app_spark.operators.wave318",
     "data_ingestor_web_app_spark.operators.wave319",
+    "data_ingestor_web_app_spark.operators.wave320",
 ]
 
 
