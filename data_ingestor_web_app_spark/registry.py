@@ -411,6 +411,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave318",
     "data_ingestor_web_app_spark.operators.wave319",
     "data_ingestor_web_app_spark.operators.wave320",
+    "data_ingestor_web_app_spark.operators.wave321",
 ]
 
 
