@@ -415,6 +415,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave322",
     "data_ingestor_web_app_spark.operators.wave323",
     "data_ingestor_web_app_spark.operators.wave324",
+    "data_ingestor_web_app_spark.operators.wave325",
 ]
 
 
