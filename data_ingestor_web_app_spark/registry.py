@@ -416,6 +416,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave323",
     "data_ingestor_web_app_spark.operators.wave324",
     "data_ingestor_web_app_spark.operators.wave325",
+    "data_ingestor_web_app_spark.operators.wave326",
 ]
 
 
