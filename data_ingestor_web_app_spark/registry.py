@@ -417,6 +417,11 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave324",
     "data_ingestor_web_app_spark.operators.wave325",
     "data_ingestor_web_app_spark.operators.wave326",
+    "data_ingestor_web_app_spark.operators.wave327",
+    "data_ingestor_web_app_spark.operators.wave328",
+    "data_ingestor_web_app_spark.operators.wave329",
+    "data_ingestor_web_app_spark.operators.wave330",
+    "data_ingestor_web_app_spark.operators.wave331",
 ]
 
 
