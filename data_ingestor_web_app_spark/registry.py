@@ -422,6 +422,9 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave329",
     "data_ingestor_web_app_spark.operators.wave330",
     "data_ingestor_web_app_spark.operators.wave331",
+    "data_ingestor_web_app_spark.operators.wave332",  # allan/hjorth/secretary
+    "data_ingestor_web_app_spark.operators.wave333",  # win ratio / CPM-PERT
+    "data_ingestor_web_app_spark.operators.wave334",  # damerau-DL / huffman
 ]
 
 
