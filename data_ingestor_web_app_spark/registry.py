@@ -425,6 +425,9 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave332",  # allan/hjorth/secretary
     "data_ingestor_web_app_spark.operators.wave333",  # win ratio / CPM-PERT
     "data_ingestor_web_app_spark.operators.wave334",  # damerau-DL / huffman
+    "data_ingestor_web_app_spark.operators.wave335",  # buhlmann / B-F reserve
+    "data_ingestor_web_app_spark.operators.wave336",  # black-scholes / jaro
+    "data_ingestor_web_app_spark.operators.wave337",  # chatterjee/siegel/p-chart
 ]
 
 
