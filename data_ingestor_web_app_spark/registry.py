@@ -428,6 +428,8 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave335",  # buhlmann / B-F reserve
     "data_ingestor_web_app_spark.operators.wave336",  # black-scholes / jaro
     "data_ingestor_web_app_spark.operators.wave337",  # chatterjee/siegel/p-chart
+    "data_ingestor_web_app_spark.operators.wave338",  # effect sizes/life table/visibility
+    "data_ingestor_web_app_spark.operators.wave339",  # wagner-whitin DP
 ]
 
 
