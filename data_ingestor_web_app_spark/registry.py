@@ -430,6 +430,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave337",  # chatterjee/siegel/p-chart
     "data_ingestor_web_app_spark.operators.wave338",  # effect sizes/life table/visibility
     "data_ingestor_web_app_spark.operators.wave339",  # wagner-whitin DP
+    "data_ingestor_web_app_spark.operators.wave340",  # breslow-day/wkappa/bws
 ]
 
 
