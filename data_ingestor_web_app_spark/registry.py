@@ -431,6 +431,8 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave338",  # effect sizes/life table/visibility
     "data_ingestor_web_app_spark.operators.wave339",  # wagner-whitin DP
     "data_ingestor_web_app_spark.operators.wave340",  # breslow-day/wkappa/bws
+    "data_ingestor_web_app_spark.operators.wave341",  # haversine/polygon/hilbert
+    "data_ingestor_web_app_spark.operators.wave342",  # rendezvous hashing
 ]
 
 
