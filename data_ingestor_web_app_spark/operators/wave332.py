@@ -269,20 +269,28 @@ def opt_secretary_stopping(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one sort-once window pass (rank + running context),
     a 1-row observation max, and a TakeOrdered-style first-hit pick —
     no self-joins, linear in orders."""
-    w = Window.orderBy("o_orderdate", "o_orderkey")
-    seq = table(spark, sf_dir, "orders").select(
-        "o_orderkey",
-        F.round(F.col("o_totalprice") * 100).cast("long").alias("p"),
-        F.row_number().over(w).alias("rn"),
-        F.count("*").over(Window.partitionBy()).alias("n"),
+    from data_ingestor_web_app_spark.operators.rank_utils import (
+        global_row_index,
     )
-    m = seq.agg(
-        F.max("n").cast("long").alias("n"),
-        F.floor(F.max("n") / F.lit(2.718281828459045)).cast("long").alias(
+
+    # arrival rank via the sharded prefix rank (dates are the bounded
+    # grid, o_orderkey breaks ties) — no corpus-wide single partition
+    sq = global_row_index(
+        table(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_orderdate",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("p"),
+        ),
+        "o_orderdate",
+        "o_orderkey",
+        index_col="rn",
+    ).select("o_orderkey", "p", "rn")
+    m = sq.agg(
+        F.count("*").cast("long").alias("n"),
+        F.floor(F.count("*") / F.lit(2.718281828459045)).cast("long").alias(
             "obs"
         ),
     )
-    sq = seq.drop("n")
     thresh = (
         sq.crossJoin(F.broadcast(m))
         .where(F.col("rn") <= F.col("obs"))
@@ -303,7 +311,7 @@ def opt_secretary_stopping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == F.col("n"))
         .select(F.col("o_orderkey").alias("lk"), F.col("p").alias("lp"))
     )
-    best = seq.agg(F.max("p").cast("long").alias("best_p"))
+    best = sq.agg(F.max("p").cast("long").alias("best_p"))
     # left-join the (possibly empty) pick onto the fallback row
     out = (
         m.crossJoin(F.broadcast(last))

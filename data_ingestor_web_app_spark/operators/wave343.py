@@ -71,13 +71,33 @@ def sample_monetary_unit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one running-sum window over the key order (at 100 TB
     this is the sharded prefix-sum shape), then a per-row hit count —
     no join, no second pass."""
-    w = Window.orderBy("o_orderkey").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    pop = table(spark, sf_dir, "orders").select(
+    # two-phase SHARDED prefix sum (the scale-safe cumulative shape):
+    # within-shard running totals in parallel, then broadcast shard
+    # offsets from the aggregate shard frame — bit-identical to the
+    # single-partition running sum, no corpus-sized window task.
+    base = table(spark, sf_dir, "orders").select(
         "o_orderkey",
         F.round(F.col("o_totalprice") * 100).cast("long").alias("c"),
-    ).withColumn("cum", F.sum("c").over(w).cast("long"))
+        (F.col("o_orderkey") / 4096).cast("long").alias("shard"),
+    )
+    w_in = Window.partitionBy("shard").orderBy("o_orderkey").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    shard_tot = base.groupBy("shard").agg(F.sum("c").alias("stot"))
+    w_off = Window.orderBy("shard").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = shard_tot.select(
+        "shard",
+        F.coalesce(F.sum("stot").over(w_off), F.lit(0)).alias("off"),
+    )
+    pop = (
+        base.join(F.broadcast(offsets), "shard")
+        .withColumn(
+            "cum", (F.sum("c").over(w_in) + F.col("off")).cast("long")
+        )
+        .select("o_orderkey", "c", "cum")
+    )
     tot = pop.agg(
         F.max("cum").cast("long").alias("total"),
         F.floor(F.max("cum") / _N_SAMPLES).cast("long").alias("step"),
