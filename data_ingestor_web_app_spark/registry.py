@@ -434,6 +434,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave341",  # haversine/polygon/hilbert
     "data_ingestor_web_app_spark.operators.wave342",  # rendezvous hashing
     "data_ingestor_web_app_spark.operators.wave343",  # MUS sampling / CORDIC
+    "data_ingestor_web_app_spark.operators.wave344",  # EDD/WSPT/vickrey
 ]
 
 
