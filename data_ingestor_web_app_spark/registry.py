@@ -436,6 +436,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave343",  # MUS sampling / CORDIC
     "data_ingestor_web_app_spark.operators.wave344",  # EDD/WSPT/vickrey
     "data_ingestor_web_app_spark.operators.wave345",  # simrank
+    "data_ingestor_web_app_spark.operators.wave346",  # phase dispersion
 ]
 
 
