@@ -439,6 +439,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave346",  # phase dispersion
     "data_ingestor_web_app_spark.operators.wave347",  # thurstone
     "data_ingestor_web_app_spark.operators.wave348",  # DF/KPSS/cochrane-orcutt
+    "data_ingestor_web_app_spark.operators.wave349",  # VAR1 / quandt sup-F
 ]
 
 
