@@ -440,6 +440,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave347",  # thurstone
     "data_ingestor_web_app_spark.operators.wave348",  # DF/KPSS/cochrane-orcutt
     "data_ingestor_web_app_spark.operators.wave349",  # VAR1 / quandt sup-F
+    "data_ingestor_web_app_spark.functions.wave350",  # lambda HOF shelf
 ]
 
 
