@@ -442,6 +442,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave349",  # VAR1 / quandt sup-F
     "data_ingestor_web_app_spark.functions.wave350",  # lambda HOF shelf
     "data_ingestor_web_app_spark.operators.wave351",  # che-LRU / quorum
+    "data_ingestor_web_app_spark.operators.wave352",  # GSP-VCG / fixed effects
 ]
 
 
