@@ -91,8 +91,9 @@ def model_roc_convex_hull(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact integer (fp, tp) space by cross-multiplication, so no float
     ever decides hull membership. The cost-optimal operating point
     minimizes {_C_FP}·FP + {_C_FN}·FN (Provost-Fawcett iso-performance
-    tangency): it always lands on the hull — pinned in pytest, which
-    is the paper's theorem.
+    tangency): expected cost is linear in (fp, tp), so the hull
+    vertices (corners included) are never beaten by any threshold —
+    the paper's theorem, pinned in pytest in its discrete form.
 
     Determinism: tp/fp are exact counts; hull and cost comparisons
     are pure integer; only the display TPR/FPR divide, rounded 6dp.
