@@ -446,6 +446,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave353",  # IDW / clark-evans
     "data_ingestor_web_app_spark.operators.wave354",  # ROC convex hull
     "data_ingestor_web_app_spark.operators.wave355",  # power indices extra
+    "data_ingestor_web_app_spark.operators.wave356",  # hotelling T2
 ]
 
 
