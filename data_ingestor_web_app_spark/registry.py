@@ -447,6 +447,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave354",  # ROC convex hull
     "data_ingestor_web_app_spark.operators.wave355",  # power indices extra
     "data_ingestor_web_app_spark.operators.wave356",  # hotelling T2
+    "data_ingestor_web_app_spark.llm.wave357",  # viterbi
 ]
 
 
