@@ -448,6 +448,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave355",  # power indices extra
     "data_ingestor_web_app_spark.operators.wave356",  # hotelling T2
     "data_ingestor_web_app_spark.llm.wave357",  # viterbi
+    "data_ingestor_web_app_spark.operators.wave358",  # CRDT / merkle
 ]
 
 
