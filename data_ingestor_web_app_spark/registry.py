@@ -451,6 +451,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave358",  # CRDT / merkle
     "data_ingestor_web_app_spark.operators.wave359",  # bin packing bounds
     "data_ingestor_web_app_spark.operators.wave360",  # ZIP / beta-binomial MoM
+    "data_ingestor_web_app_spark.operators.wave361",  # kneedle
 ]
 
 
