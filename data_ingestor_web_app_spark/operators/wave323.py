@@ -198,7 +198,7 @@ def model_sequential_halving(spark: SparkSession, sf_dir: str) -> DataFrame:
 def model_cem_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Coarsened exact matching (Iacus, King & Porro, Political
     Analysis 2012, public): coarsen the covariates (hour into four
-    6-hour bands, value into \$50 bands capped at 5) into strata,
+    6-hour bands, value into $50 bands capped at 5) into strata,
     keep only strata containing BOTH weekend-treated and weekday-
     control units, and estimate the ATT of 'weekend' on purchase as
     the treated-weighted within-stratum outcome difference. The L1

@@ -18,6 +18,9 @@ from data_ingestor_web_app_spark.registry import query
     "agg_breslow_day",
     oracle="""
     WITH base AS (
+        -- DuckDB DAYOFWEEK is 0-6 (Sun=0); +1 aligns with Spark's
+        -- dayofweek() 1-7 (Sun=1) so s means the same weekday in both
+        -- engines even if it is ever projected (ADVICE r8 #3)
         SELECT CAST(DAYOFWEEK(CAST(ts AS DATE)) + 1 AS BIGINT) AS s,
                CASE WHEN HOUR(ts) >= 12 THEN 1 ELSE 0 END AS expo,
                CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS outc
@@ -93,7 +96,9 @@ def agg_breslow_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one conditional aggregate collapses the corpus to 7
     strata; everything after is dimension-sized."""
     base = table(spark, sf_dir, "events").select(
-        (F.dayofweek(F.to_date("ts")) + 1).cast("long").alias("s"),
+        # Spark dayofweek is already 1-7 (Sun=1); the oracle's 0-6
+        # DAYOFWEEK carries the +1 so the stratum labels agree exactly
+        F.dayofweek(F.to_date("ts")).cast("long").alias("s"),
         F.when(F.hour("ts") >= 12, 1).otherwise(0).alias("expo"),
         F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias(
             "outc"
@@ -323,6 +328,14 @@ def agg_bws_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     omnibus companion to the registry's KS/Kuiper/Cucconi/Lepage rows.
     Ties break by the packed epoch+id total order (documented
     convention, identical both engines).
+
+    VARIANT NOTE (ADVICE r8 #2): this is the exact-rank-expectation
+    variant — moments E[R_i] = (N+1)/(n+1)·i with scale m(N+1)/(n+1)
+    — not the 1998 paper's (m+n)/n·i with scale m(m+n)/n. Both engines
+    and the pytest replay the same variant so the statistic is fully
+    self-consistent, but the reported bws_b is NOT comparable to
+    published BWS critical values (e.g. 2.493 at the 5% level); use it
+    as a relative two-sample divergence score, not a tabulated test.
 
     Determinism: ranks are exact integers off one total order; each
     per-row term quantizes to nano-ints BEFORE summation, so the

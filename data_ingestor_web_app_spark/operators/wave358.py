@@ -99,12 +99,20 @@ _MOD = (1 << 61) - 1
 def _merkle_sql() -> str:
     parts = [
         f"""
-    leaves AS (
+    leaves0 AS (
         SELECT CAST(o_orderkey % 32 AS BIGINT) AS b,
                CAST(SUM(CAST((o_orderkey * 2654435761
                          + CAST(ROUND(o_totalprice * 100) AS BIGINT))
                         % {_MOD} AS HUGEINT)) % {_MOD} AS BIGINT) AS h
         FROM orders GROUP BY o_orderkey % 32
+    ),
+    leaves AS (
+        -- seed ALL 32 leaves (empty bucket digest := 0) so the pairwise
+        -- combine levels are total regardless of key distribution
+        -- (ADVICE r8 #1: dbgen-sparse keys must not collapse the tree)
+        SELECT CAST(s.range AS BIGINT) AS b,
+               CAST(COALESCE(l.h, 0) AS BIGINT) AS h
+        FROM range(32) s LEFT JOIN leaves0 l ON l.b = s.range
     )"""
     ]
     width = 32
@@ -132,9 +140,9 @@ def _merkle_sql() -> str:
     SELECT CAST(32 AS BIGINT) AS n_leaves,
            CAST(5 AS BIGINT) AS depth,
            (SELECT h FROM l5) AS root_digest,
-           (SELECT CAST(COUNT(*) AS BIGINT) FROM leaves) AS n_nonempty,
-           (SELECT CAST(MIN(h) AS BIGINT) FROM leaves) AS min_leaf_digest,
-           (SELECT CAST(MAX(h) AS BIGINT) FROM leaves) AS max_leaf_digest
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM leaves0) AS n_nonempty,
+           (SELECT CAST(MIN(h) AS BIGINT) FROM leaves0) AS min_leaf_digest,
+           (SELECT CAST(MAX(h) AS BIGINT) FROM leaves0) AS max_leaf_digest
     """,
 )
 def maintenance_merkle_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -152,8 +160,12 @@ def maintenance_merkle_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-for-bit.
 
     Scale shape: one bucket groupBy with map-side partials, then
-    log₂(32) dimension-sized combine joins."""
-    leaves = (
+    log₂(32) dimension-sized combine joins. All 32 leaves are seeded
+    explicitly (empty bucket ⇒ digest 0) so the tree is TOTAL under any
+    key distribution — on dbgen-sparse keys (o_orderkey%32 confined to a
+    few residues) an unseeded tree's combine joins would collapse to zero
+    rows while the oracle kept a NULL root (ADVICE r8 #1)."""
+    leaves0 = (
         table(spark, sf_dir, "orders")
         .select(
             (F.col("o_orderkey") % 32).cast("long").alias("b"),
@@ -171,6 +183,10 @@ def maintenance_merkle_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("h")
         )
+    )
+    seed = spark.range(32).select(F.col("id").alias("b"))
+    leaves = seed.join(F.broadcast(leaves0), "b", "left").select(
+        "b", F.coalesce(F.col("h"), F.lit(0)).cast("long").alias("h")
     )
     cur = leaves
     for _ in range(5):
@@ -192,7 +208,7 @@ def maintenance_merkle_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).cast("long").alias("h"),
             )
         )
-    stats = leaves.agg(
+    stats = leaves0.agg(
         F.count("*").cast("long").alias("n_nonempty"),
         F.min("h").cast("long").alias("min_leaf_digest"),
         F.max("h").cast("long").alias("max_leaf_digest"),

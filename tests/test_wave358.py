@@ -67,3 +67,32 @@ def test_merkle_replay(spark):
             for i in range(0, len(lvl2), 2)
         ]
     assert lvl2[0] != level[0]
+
+
+def test_merkle_sparse_keys_total_tree(spark, tmp_path):
+    """ADVICE r8 #1: on dbgen-sparse keys (o_orderkey%32 confined to a few
+    residues) the tree must still be TOTAL — empty leaves seed to digest 0
+    and the root matches the zero-seeded python replay, instead of the
+    combine joins collapsing to zero rows."""
+    sparse_dir = str(tmp_path / "sparse")
+    spark.sql(
+        "SELECT CAST(id * 32 + id % 8 AS BIGINT) AS o_orderkey, "
+        "CAST(100.0 + id AS DOUBLE) AS o_totalprice FROM range(200)"
+    ).write.parquet(sparse_dir + "/orders.parquet")
+    rows = spark.read.parquet(sparse_dir + "/orders.parquet").collect()
+    leaves = {}
+    for r in rows:
+        b = r["o_orderkey"] % 32
+        t = (r["o_orderkey"] * 2654435761 + round(r["o_totalprice"] * 100)) % MOD
+        leaves[b] = (leaves.get(b, 0) + t) % MOD
+    assert len(leaves) == 8  # genuinely sparse: 24 of 32 buckets empty
+    level = [leaves.get(b, 0) for b in range(32)]
+    while len(level) > 1:
+        level = [
+            (31 * level[i] % MOD + level[i + 1]) % MOD
+            for i in range(0, len(level), 2)
+        ]
+    row = QUERIES["maintenance_merkle_tree"](spark, sparse_dir).first()
+    assert row is not None and row["root_digest"] == level[0]
+    assert row["n_nonempty"] == 8
+    assert row["min_leaf_digest"] == min(leaves.values())
