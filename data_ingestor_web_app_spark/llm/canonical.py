@@ -117,7 +117,8 @@ def events_survival_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.col("ts").cast("date")), F.min(F.col("ts").cast("date"))
         ).alias("span")
     )
-    total = spans.count()
+    # user count folded in as a 1-row broadcast (no build-time job)
+    totalf = spans.agg(F.count("*").cast("long").alias("total"))
     ks = spark.range(0, 14).select(F.col("id").alias("k"))
     return (
         ks.crossJoin(spans)
@@ -125,10 +126,13 @@ def events_survival_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.when(F.col("span") >= F.col("k"), 1)).alias("n_surviving"),
         )
+        .crossJoin(F.broadcast(totalf))
         .select(
             "k",
             "n_surviving",
-            F.round(F.col("n_surviving") * 1.0 / total, 6).alias("survival_rate"),
+            F.round(F.col("n_surviving") * 1.0 / F.col("total"), 6).alias(
+                "survival_rate"
+            ),
         )
     )
 

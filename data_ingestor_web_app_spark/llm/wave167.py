@@ -251,14 +251,17 @@ def model_quantile_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
     pooled = global_row_index(d.select("v", "doc_id"), "v", "doc_id").select(
         F.col("v").alias("pv"), (F.col("__i") - 1).alias("i")
     )
-    n_total = d.count()
-    pos = grp.select(
+    # corpus size folded in as a 1-row broadcast frame (the repo-wide
+    # pattern) instead of an eager .count() job at build time
+    total = d.agg(F.count("*").cast("long").alias("n_total"))
+    pos = grp.crossJoin(F.broadcast(total)).select(
         "doc_id",
         "source",
         "v",
+        "n_total",
         (
             (F.col("r") - 1.0)
-            * (n_total - 1)
+            * (F.col("n_total") - 1)
             / F.greatest(F.col("m") - 1, F.lit(1))
         ).alias("p"),
     )
@@ -266,7 +269,7 @@ def model_quantile_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
     hi = pooled.select(F.col("i").alias("ihi"), F.col("pv").alias("pv_hi"))
     interp = (
         pos.withColumn("ilo", F.floor("p").cast("long"))
-        .withColumn("ihi", F.least(F.col("ilo") + 1, F.lit(n_total - 1)))
+        .withColumn("ihi", F.least(F.col("ilo") + 1, F.col("n_total") - 1))
         .join(lo, "ilo")
         .join(hi, "ihi")
         .select(

@@ -253,23 +253,38 @@ def dedup_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("ka", "kb")
         .distinct()
     )
-    n_items = sub.count()
-    n_true = truth.count()
-    n_candidates = blocked.count()
-    n_found = truth.join(blocked, ["ka", "kb"]).count()
-    return spark.createDataFrame(
-        [
-            (
-                n_items,
-                n_true,
-                n_candidates,
-                n_found,
-                round(n_found / n_true, 6) if n_true else 0.0,
-                round(1 - n_candidates * 2.0 / (n_items * (n_items - 1)), 6),
+    # the four cardinalities folded in as 1-row broadcasts — one deferred
+    # plan, no build-time count jobs (VERDICT r8 item 7)
+    nif = sub.agg(F.count("*").cast("long").alias("n_items"))
+    ntf = truth.agg(F.count("*").cast("long").alias("n_true"))
+    ncf = blocked.agg(F.count("*").cast("long").alias("n_candidates"))
+    nff = (
+        truth.join(blocked, ["ka", "kb"])
+        .agg(F.count("*").cast("long").alias("n_found"))
+    )
+    return (
+        nif.crossJoin(F.broadcast(ntf))
+        .crossJoin(F.broadcast(ncf))
+        .crossJoin(F.broadcast(nff))
+        .select(
+            "n_items",
+            "n_true",
+            "n_candidates",
+            "n_found",
+            F.when(
+                F.col("n_true") > 0,
+                F.round(F.col("n_found") / F.col("n_true").cast("double"), 6),
             )
-        ],
-        "n_items long, n_true long, n_candidates long, n_found long, "
-        "pair_completeness double, reduction_ratio double",
+            .otherwise(F.lit(0.0))
+            .alias("pair_completeness"),
+            F.round(
+                1
+                - F.col("n_candidates")
+                * 2.0
+                / (F.col("n_items") * (F.col("n_items") - 1)),
+                6,
+            ).alias("reduction_ratio"),
+        )
     )
 
 

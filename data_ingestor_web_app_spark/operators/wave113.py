@@ -198,10 +198,19 @@ def join_empty_side_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("left_outer_vs_empty", probe.join(e2, probe.k == e2.ek, "left_outer")),
         ("semi_vs_empty", probe.join(e2, probe.k == e2.ek, "left_semi")),
     ]
-    counts = [(name, df.count()) for name, df in variants]
-    return spark.createDataFrame(counts, "variant string, n_rows long").orderBy(
-        "variant"
-    )
+    # one lazy 1-row frame per variant, unioned — the whole pin is a single
+    # deferred plan (6 build-time counts folded away); the PropagateEmpty
+    # Relation fold being pinned happens at the same plan time either way
+    frames = [
+        df.agg(F.count("*").cast("long").alias("n_rows")).select(
+            F.lit(name).alias("variant"), "n_rows"
+        )
+        for name, df in variants
+    ]
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out.orderBy("variant")
 
 
 @query(

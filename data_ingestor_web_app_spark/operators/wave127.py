@@ -120,7 +120,8 @@ def model_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     toks = d.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("tok"))
     dlen = toks.groupBy("doc_id").agg(F.count("*").cast("long").alias("len"))
-    nd = d.count()  # scalar: document count (driver-side literal, metadata-size)
+    # document count folded in as a 1-row broadcast (no build-time job)
+    ndf = d.agg(F.count("*").cast("long").alias("nd_c"))
     ctot = toks.agg(F.count("*").cast("long").alias("c"))
     ctf = toks.groupBy("tok").agg(
         F.count("*").cast("long").alias("ctf"),
@@ -150,7 +151,7 @@ def model_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             1000000
             * (
                 F.log(
-                    (F.lit(nd) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+                    (F.col("nd_c") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
                 )
                 * (tfv * (_K1_MILLI + 1000))
                 / (
@@ -159,7 +160,7 @@ def model_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
                     * (
                         1000
                         - _B_MILLI
-                        + _B_MILLI * F.col("len") * F.lit(nd) * 1.0 / F.col("c")
+                        + _B_MILLI * F.col("len") * F.col("nd_c") * 1.0 / F.col("c")
                     )
                 )
             )
@@ -169,6 +170,7 @@ def model_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(qterms)
         .crossJoin(dlen)
         .crossJoin(F.broadcast(ctot))
+        .crossJoin(F.broadcast(ndf))
         .join(F.broadcast(ctf), "tok")
         .join(tf, ["doc_id", "tok"], "left")
         .select("lang", "doc_id", ql_micro.alias("qlm"), bm_micro.alias("bmm"))

@@ -115,12 +115,23 @@ def graph_giant_component(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
     sizes = lbl.groupBy("lbl").agg(F.count("*").cast("long").alias("sz"))
-    n_nodes = lbl.count()
-    return sizes.agg(
-        F.lit(n_nodes).cast("long").alias("n_nodes"),
-        F.count("*").cast("long").alias("n_components"),
-        F.max("sz").cast("long").alias("giant_size"),
-        F.round(F.max("sz") * F.lit(1.0) / F.lit(n_nodes), 6).alias("giant_frac"),
+    # node count folded in as a 1-row broadcast (no extra build-time job —
+    # the iterative label propagation above is the documented driver loop)
+    nnf = lbl.agg(F.count("*").cast("long").alias("n_nodes"))
+    return (
+        sizes.agg(
+            F.count("*").cast("long").alias("n_components"),
+            F.max("sz").cast("long").alias("giant_size"),
+        )
+        .crossJoin(F.broadcast(nnf))
+        .select(
+            "n_nodes",
+            "n_components",
+            "giant_size",
+            F.round(
+                F.col("giant_size") * F.lit(1.0) / F.col("n_nodes"), 6
+            ).alias("giant_frac"),
+        )
     )
 
 

@@ -284,16 +284,22 @@ def agg_schnabel_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "r_t",
         F.coalesce(F.sum(F.col("c_t") - F.col("r_t")).over(w), F.lit(0)).alias("m_t"),
     ).where(F.col("m_t") > 0)
-    universe = weekly.select("user_id").distinct().count()
-    return cum.agg(
-        F.count("*").cast("long").alias("n_samples"),
-        F.sum(F.col("c_t") * F.col("m_t")).cast("long").alias("sum_cm"),
-        F.sum("r_t").cast("long").alias("sum_r"),
-        F.round(
-            F.sum(F.col("c_t") * F.col("m_t")) * F.lit(1.0)
-            / (F.sum("r_t") + 1)
+    # universe folded in as a 1-row broadcast frame (no build-time job)
+    uf = weekly.select("user_id").distinct().agg(
+        F.count("*").cast("long").alias("true_universe")
+    )
+    return (
+        cum.agg(
+            F.count("*").cast("long").alias("n_samples"),
+            F.sum(F.col("c_t") * F.col("m_t")).cast("long").alias("sum_cm"),
+            F.sum("r_t").cast("long").alias("sum_r"),
+            F.round(
+                F.sum(F.col("c_t") * F.col("m_t")) * F.lit(1.0)
+                / (F.sum("r_t") + 1)
+            )
+            .cast("long")
+            .alias("n_hat"),
         )
-        .cast("long")
-        .alias("n_hat"),
-        F.lit(universe).cast("long").alias("true_universe"),
+        .crossJoin(F.broadcast(uf))
+        .select("n_samples", "sum_cm", "sum_r", "n_hat", "true_universe")
     )

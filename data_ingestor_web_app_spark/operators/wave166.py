@@ -273,12 +273,19 @@ def agg_gumbel_lmom(spark: SparkSession, sf_dir: str) -> DataFrame:
         "m",
         F.row_number().over(w).alias("r"),
     )
-    n_cnt = mx.count()
-    lmom = ranked.agg(
+    # n folded into the same single aggregation (no build-time count job);
+    # the l2 float chain keeps the identical op order
+    lmom0 = ranked.agg(
         F.avg("m").alias("l1"),
+        (2.0 * F.sum((F.col("r") - 1.0) * F.col("m"))).alias("s2w"),
+        F.count("*").cast("long").alias("n_blocks"),
+    )
+    lmom = lmom0.select(
+        "l1",
+        "n_blocks",
         (
-            2.0 * F.sum((F.col("r") - 1.0) * F.col("m")) / (n_cnt * (n_cnt - 1.0))
-            - F.avg("m")
+            F.col("s2w") / (F.col("n_blocks") * (F.col("n_blocks") - 1.0))
+            - F.col("l1")
         ).alias("l2"),
     )
     import math
@@ -287,7 +294,7 @@ def agg_gumbel_lmom(spark: SparkSession, sf_dir: str) -> DataFrame:
     beta = F.col("l2") / F.lit(math.log(2.0))
     mu = F.col("l1") - euler * beta
     return lmom.select(
-        F.lit(n_cnt).cast("long").alias("n_blocks"),
+        F.col("n_blocks").cast("long").alias("n_blocks"),
         F.round("l1", 6).alias("l1"),
         F.round("l2", 6).alias("l2"),
         F.round(beta, 6).alias("beta_scale"),

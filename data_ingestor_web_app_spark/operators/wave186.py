@@ -194,8 +194,10 @@ def text_lang_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     fold runs over |langs| elements per source."""
     docs = table(spark, sf_dir, "documents")
     langs = docs.select("lang").distinct()
-    lcnt = langs.count()  # bounded: distinct language codes (5 here)
-    nt = docs.count()
+    # language-dim and corpus counts folded in as 1-row broadcasts
+    # (no build-time jobs)
+    lf = langs.agg(F.count("*").cast("long").alias("lcnt"))
+    ntf = docs.agg(F.count("*").cast("long").alias("nt"))
     srcs = docs.groupBy("source").agg(F.count("*").cast("long").alias("n_docs"))
     cells = docs.groupBy("source", "lang").agg(F.count("*").cast("long").alias("c"))
     glob = docs.groupBy("lang").agg(F.count("*").cast("long").alias("g"))
@@ -203,15 +205,20 @@ def text_lang_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         srcs.crossJoin(F.broadcast(langs))
         .join(F.broadcast(glob), "lang")
         .join(cells, ["source", "lang"], "left")
+        .crossJoin(F.broadcast(lf))
+        .crossJoin(F.broadcast(ntf))
         .select(
             "source",
             "n_docs",
             "lang",
             (
                 (F.coalesce(F.col("c"), F.lit(0)) + 1).cast("double")
-                / (F.col("n_docs") + F.lit(lcnt))
+                / (F.col("n_docs") + F.col("lcnt"))
             ).alias("p"),
-            ((F.col("g") + 1).cast("double") / F.lit(float(nt + lcnt))).alias("q"),
+            (
+                (F.col("g") + 1).cast("double")
+                / (F.col("nt") + F.col("lcnt")).cast("double")
+            ).alias("q"),
         )
     )
     folded = grid.groupBy("source", "n_docs").agg(

@@ -142,7 +142,10 @@ def text_juilland_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary-wide window."""
     docs = table(spark, sf_dir, "documents")
     toks = docs.select("source", F.explode(F.split("text", " ")).alias("tok"))
-    k = docs.select("source").distinct().count()  # bounded: source dim
+    # source-dim count folded in as a 1-row broadcast (no build-time job)
+    kf = docs.select("source").distinct().agg(
+        F.count("*").cast("long").alias("k_src")
+    )
     glob = (
         toks.groupBy("tok")
         .agg(F.count("*").cast("long").alias("total"))
@@ -159,17 +162,18 @@ def text_juilland_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c").cast("long").alias("s"),
         F.sum(F.col("c").cast(dec) * F.col("c")).alias("s2"),
     )
-    return moms.select(
+    return moms.crossJoin(F.broadcast(kf)).select(
         F.col("tok").alias("token"),
         F.col("s").alias("total"),
         F.round(
             1
             - F.sqrt(
-                (F.lit(k) * F.col("s2") - F.col("s").cast(dec) * F.col("s")).cast(
-                    "double"
-                )
+                (
+                    F.col("k_src").cast(dec) * F.col("s2")
+                    - F.col("s").cast(dec) * F.col("s")
+                ).cast("double")
             )
-            / (F.col("s") * F.sqrt(F.lit(float(k)) - 1)),
+            / (F.col("s") * F.sqrt(F.col("k_src").cast("double") - 1)),
             6,
         ).alias("juilland_d"),
     )

@@ -105,24 +105,24 @@ def agg_page_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         + 1,
     )
     colsum = ranked.groupBy("bin").agg(F.sum("r2").cast("long").alias("r2_j"))
-    n = dense.select("day").distinct().count()  # bounded: one scalar
+    # n folded in as a 1-row broadcast (no build-time job); the moment
+    # chain keeps the identical left-to-right op order, and F.sqrt is
+    # java.lang.Math.sqrt — correctly rounded like DuckDB's SQRT (unlike
+    # Column ** 0.5, which lowers to POWER)
+    nf = dense.select("day").distinct().agg(
+        F.count("*").cast("long").alias("n")
+    )
     agg = colsum.agg(
         F.sum((F.col("bin") + 1) * F.col("r2_j")).cast("long").alias("l2")
-    )
-    import math
-
+    ).crossJoin(F.broadcast(nf))
     k = float(_K)
-    mean = n * k * (k + 1) * (k + 1) / 4.0
-    # sqrt on the driver: correctly-rounded like DuckDB's SQRT (Column
-    # ** 0.5 would lower to POWER, which is not ulp-guaranteed)
-    sd = math.sqrt(n * k * k * (k + 1) * (k * k - 1) / 144.0)
+    mean = F.col("n") * k * (k + 1) * (k + 1) / 4.0
+    sd = F.sqrt(F.col("n") * k * k * (k + 1) * (k * k - 1) / 144.0)
     return agg.select(
-        F.lit(n).cast("long").alias("n_blocks"),
+        F.col("n").cast("long").alias("n_blocks"),
         F.lit(_K).cast("int").alias("k_treatments"),
         F.col("l2").alias("l_doubled"),
-        F.round((F.col("l2") / 2.0 - F.lit(mean)) / F.lit(sd), 6).alias(
-            "z_stat"
-        ),
+        F.round((F.col("l2") / 2.0 - mean) / sd, 6).alias("z_stat"),
     )
 
 

@@ -121,11 +121,15 @@ def events_risk_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.lit(0).cast(_DEC))
         ).alias("sdown2"),
     )
-    n = rets.count()  # bounded: calendar days
-    k = -(-5 * n // 100)  # ceil(0.05 n) in exact integer arithmetic
+    # k = ceil(0.05 n) folded into the plan: rank the (bounded, daily)
+    # return frame and filter to the first k rows — no build-time count
+    # job, no literal LIMIT. floor((5n+99)/100) is exact in double for any
+    # calendar-sized n (5n+99 << 2^53).
+    ndf = rets.agg(F.count("*").cast("long").alias("nd"))
     var95 = (
-        rets.orderBy("rn", "d")
-        .limit(int(k))
+        rets.withColumn("rk", F.row_number().over(Window.orderBy("rn", "d")))
+        .crossJoin(F.broadcast(ndf))
+        .where(F.col("rk") <= F.floor((5 * F.col("nd") + 99) / 100))
         .agg(F.max("rn").alias("var_n"))
     )
     cvar = rets.crossJoin(F.broadcast(var95)).where(

@@ -205,22 +205,48 @@ def model_theil_sen_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             Window.orderBy("sl", "xi", "xj")
         ),
     )
-    m = slopes.count()  # bounded scalar
-    n = daily.count()  # bounded scalar
-    import math
-
-    c = _Z95 * math.sqrt(n * (n - 1.0) * (2 * n + 5) / 18.0)
-    klo = int(math.floor((m - c) / 2))
-    khi = min(int(math.ceil((m + c) / 2) + 1), m)
+    # m, n and the CI order-statistic indices folded into the plan as a
+    # 1-row broadcast (no build-time count jobs); F.sqrt/floor/ceil are
+    # the same IEEE chain the oracle runs
+    lims = (
+        slopes.agg(F.count("*").cast("long").alias("m"))
+        .crossJoin(
+            F.broadcast(daily.agg(F.count("*").cast("long").alias("n")))
+        )
+        .select(
+            "m",
+            "n",
+            (
+                F.lit(_Z95)
+                * F.sqrt(
+                    F.col("n")
+                    * (F.col("n") - 1.0)
+                    * (2 * F.col("n") + 5)
+                    / 18.0
+                )
+            ).alias("c"),
+        )
+        .select(
+            "m",
+            "n",
+            F.floor((F.col("m") - F.col("c")) / 2).cast("long").alias("klo"),
+            F.least(
+                F.ceil((F.col("m") + F.col("c")) / 2) + 1, F.col("m")
+            ).cast("long").alias("khi"),
+        )
+    )
     med = slopes.agg(F.expr("percentile(sl, 0.5)").alias("sen_slope"))
-    lo = ranked.where(F.col("k") == klo).select(F.col("sl").alias("ci_lo"))
-    hi = ranked.where(F.col("k") == khi).select(F.col("sl").alias("ci_hi"))
+    rk = ranked.crossJoin(F.broadcast(lims))
+    lo = rk.where(F.col("k") == F.col("klo")).select(
+        F.col("sl").alias("ci_lo"), "n", "m"
+    )
+    hi = rk.where(F.col("k") == F.col("khi")).select(F.col("sl").alias("ci_hi"))
     return (
         med.crossJoin(F.broadcast(lo))
         .crossJoin(F.broadcast(hi))
         .select(
-            F.lit(n).cast("long").alias("n_days"),
-            F.lit(m).cast("long").alias("n_slopes"),
+            F.col("n").cast("long").alias("n_days"),
+            F.col("m").cast("long").alias("n_slopes"),
             F.round("sen_slope", 6).alias("sen_slope"),
             F.round("ci_lo", 6).alias("ci_lo"),
             F.round("ci_hi", 6).alias("ci_hi"),

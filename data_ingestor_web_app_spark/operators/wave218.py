@@ -258,17 +258,19 @@ def agg_quade_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("s4").cast("decimal(38,0)") * F.col("s4")).alias("b16")
     )
     aa = joined.agg(F.sum("a16term").alias("a16"))
-    n = days.count()  # bounded scalar
-    b = F.col("b16").cast("double") / n
+    # n folded in as a 1-row broadcast frame (no build-time count job)
+    nf = days.agg(F.count("*").cast("long").alias("n"))
+    b = F.col("b16").cast("double") / F.col("n")
     return (
         tots.crossJoin(F.broadcast(aa))
+        .crossJoin(F.broadcast(nf))
         .select(
-            F.lit(n).cast("long").alias("n_blocks"),
+            F.col("n").cast("long").alias("n_blocks"),
             F.lit(_K).cast("int").alias("k_treatments"),
             F.round(b / 16.0, 6).alias("b_stat"),
             F.round(F.col("a16").cast("double") / 16.0, 6).alias("a_stat"),
             F.round(
-                (n - 1) * b / (F.col("a16").cast("double") - b), 6
+                (F.col("n") - 1) * b / (F.col("a16").cast("double") - b), 6
             ).alias("quade_f"),
         )
     )

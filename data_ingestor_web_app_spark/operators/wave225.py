@@ -152,16 +152,18 @@ def agg_ecdf_dkw_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("y")
     )
-    n = daily.count()  # bounded scalar
-    ranked = daily.withColumn(
+    # n folded in as a 1-row broadcast (no build-time job); JVM SQRT is the
+    # same IEEE double as math.sqrt, so values are unchanged
+    nf = daily.agg(F.count("*").cast("long").alias("n"))
+    ranked = daily.crossJoin(F.broadcast(nf)).withColumn(
         "i",
         F.row_number().over(
             # bounded: one row per calendar day
             Window.orderBy("y", "d")
         ),
     )
-    eps = math.sqrt(_LN40 / (2.0 * n))
-    ecdf = F.col("i") / float(n)
+    eps = F.sqrt(F.lit(_LN40) / (2.0 * F.col("n")))
+    ecdf = F.col("i") / F.col("n").cast("double")
     return ranked.select(
         F.col("y").alias("units"),
         F.col("i").cast("long").alias("rank"),

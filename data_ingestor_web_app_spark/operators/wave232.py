@@ -244,14 +244,16 @@ def pipeline_interleave_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", F.row_number().over(w_src).alias("rn")
     )
     srcs = d.select("source").distinct()
-    n_src = srcs.count()
+    # source count folded in as a 1-row broadcast (no build-time job)
+    nsf = srcs.agg(F.count("*").cast("long").alias("n_src"))
     src_idx = srcs.select(
         "source", F.row_number().over(Window.orderBy("source")).alias("src_idx")
     )
     return (
         ranked.join(F.broadcast(src_idx), "source")
+        .crossJoin(F.broadcast(nsf))
         .select(
-            ((F.col("rn") - 1) * n_src + F.col("src_idx"))
+            ((F.col("rn") - 1) * F.col("n_src") + F.col("src_idx"))
             .cast("long")
             .alias("pos"),
             "doc_id",

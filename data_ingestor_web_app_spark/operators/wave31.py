@@ -125,9 +125,16 @@ def agg_session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     session) against the explicit SQL.
 
     Scale shape: one shuffle on user_id; session merging is a per-key
-    sorted pass — same cost as the islands window, but the intent is
-    declared, letting the engine fuse it with downstream aggregation."""
+    sorted pass. Above ``_SALT_ESCALATE_BYTES`` of events input the plan
+    escalates to the salted two-phase formulation (VERDICT r8 item 5 —
+    the hot-key probe measured task max/median 3.56 on the direct path
+    with one user owning 30% of rows; the two-phase path splits that
+    user across hour buckets). The threshold reads parquet file sizes
+    from the filesystem — a metadata row-count proxy that costs no Spark
+    job at build time (the eager-action lint's contract)."""
     e = table(spark, sf_dir, "events")
+    if _events_input_bytes(sf_dir) > _SALT_ESCALATE_BYTES:
+        return _session_two_phase(e)
     sess = e.groupBy(F.session_window("ts", "30 minutes"), "user_id").agg(
         F.count("*").alias("n_events"),
         F.min("ts").alias("first_ts"),
@@ -137,6 +144,104 @@ def agg_session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sess.select(
         "user_id",
         F.row_number().over(w).cast("long").alias("sid"),
+        F.date_format("first_ts", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        "n_events",
+        (
+            F.unix_micros(F.col("last_ts")) - F.unix_micros(F.col("first_ts"))
+        ).alias("span_us"),
+    )
+
+
+_SALT_ESCALATE_BYTES = 8 << 20  # ~8 MB of events parquet ≈ 0.4 M rows
+_GAP_US = 1_800_000_000  # 30 minutes
+_BUCKET_US = 3_600_000_000  # 1-hour salt buckets (>= gap, ~720/month)
+
+
+def _events_input_bytes(sf_dir: str) -> int:
+    """Filesystem size of the events table — the no-job escalation gate."""
+    import os
+
+    path = os.path.join(sf_dir, "events.parquet")
+    if os.path.isfile(path):
+        return os.path.getsize(path)
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+    return total
+
+
+def _session_two_phase(e: DataFrame) -> DataFrame:
+    """Salted two-phase sessionization (BENCH_SCALE.md hot-key escalation,
+    now code): phase 1 sessionizes within (user_id, hour-bucket) so a hot
+    user's rows spread across ~#hours window partitions instead of one;
+    phase 2 merges fragments across bucket boundaries with the same
+    30-min-gap islands rule over the FRAGMENT frame (aggregated — at most
+    one fragment per session per touched bucket, so orders of magnitude
+    smaller than events). Merging is exact for any bucket size because
+    fragment adjacency in first_ts order is session adjacency:
+    a fragment opens a new session iff its first event is >= 30 min after
+    the previous fragment's last event — within-bucket splits already
+    carry that property, boundary splits are re-examined here."""
+    b = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.floor(F.unix_micros("ts") / F.lit(_BUCKET_US)).alias("bkt"),
+    )
+    w1 = Window.partitionBy("user_id", "bkt").orderBy("ts", "event_id")
+    marked = b.withColumn("prev_ts", F.lag("ts").over(w1)).withColumn(
+        "new_s",
+        F.when(
+            F.col("prev_ts").isNull()
+            | (F.unix_micros("ts") - F.unix_micros("prev_ts") >= _GAP_US),
+            1,
+        ).otherwise(0),
+    )
+    frag = (
+        marked.withColumn(
+            "s_in_b",
+            F.sum("new_s").over(w1.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("user_id", "bkt", "s_in_b")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+    )
+    # fragments of one user never share first_ts (bkt is a function of ts,
+    # in-bucket fragments are time-disjoint) -> total order
+    w2 = Window.partitionBy("user_id").orderBy("first_ts")
+    chained = frag.withColumn(
+        "prev_last", F.lag("last_ts").over(w2)
+    ).withColumn(
+        "new_chain",
+        F.when(
+            F.col("prev_last").isNull()
+            | (
+                F.unix_micros("first_ts") - F.unix_micros("prev_last")
+                >= _GAP_US
+            ),
+            1,
+        ).otherwise(0),
+    )
+    sess = (
+        chained.withColumn(
+            "sid",
+            F.sum("new_chain")
+            .over(w2.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("long"),
+        )
+        .groupBy("user_id", "sid")
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.min("first_ts").alias("first_ts"),
+            F.max("last_ts").alias("last_ts"),
+        )
+    )
+    return sess.select(
+        "user_id",
+        "sid",
         F.date_format("first_ts", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
         "n_events",
         (
@@ -312,3 +417,50 @@ def mm_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return payloads.mapInPandas(
         resample_batches, schema="doc_id long, n_out long, sum_out long, energy_out long"
     )
+
+
+@query(
+    "agg_session_window_salted",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, ts,
+               LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        FROM events
+    ),
+    marked AS (
+        SELECT user_id, ts,
+               CASE WHEN prev_ts IS NULL
+                         OR EPOCH_US(ts) - EPOCH_US(prev_ts) >= 1800000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM ordered
+    ),
+    islands AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+        FROM marked
+    )
+    SELECT user_id, CAST(sid AS BIGINT) AS sid,
+           STRFTIME(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           COUNT(*) AS n_events,
+           CAST(EPOCH_US(MAX(ts)) - EPOCH_US(MIN(ts)) AS BIGINT) AS span_us
+    FROM islands GROUP BY user_id, sid
+    """,
+)
+def agg_session_window_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The salted two-phase sessionization FORCED (no size gate), pinned
+    hash-exact against the same gaps-and-islands oracle as
+    agg_session_window_batch — so the escalation path
+    ``agg_session_window_batch`` takes above ``_SALT_ESCALATE_BYTES`` is
+    itself oracle-verified at every SF, not just trusted at probe scale
+    (VERDICT r8 item 5).
+
+    Determinism: phase-1 windows total-order by (ts, event_id) inside
+    (user, hour-bucket); phase-2 fragment merge orders by first_ts, which
+    is unique per user across fragments.
+
+    Scale shape: the expensive event-level windows partition by
+    (user_id, hour-bucket) — a key owning 30% of a month's corpus becomes
+    ~720 partitions; the cross-bucket merge windows run over the fragment
+    aggregate (≤ one row per session per touched bucket)."""
+    return _session_two_phase(table(spark, sf_dir, "events"))

@@ -60,7 +60,8 @@ def agg_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("g")
     )
-    total = grams.count()  # cheap re-scan; keeps the returned plan lazy
+    # total folded in as a 1-row broadcast frame — no build-time job
+    totalf = grams.agg(F.count("*").cast("long").alias("total"))
 
     def mg_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         counters: dict[str, int] = {}
@@ -86,8 +87,10 @@ def agg_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("g")
         .agg(F.count("*").alias("n"))
     )
-    return exact.where(F.col("n") > total / 750.0).select(
-        F.col("g").alias("bigram"), F.col("n").cast("long").alias("n")
+    return (
+        exact.crossJoin(F.broadcast(totalf))
+        .where(F.col("n") > F.col("total") / 750.0)
+        .select(F.col("g").alias("bigram"), F.col("n").cast("long").alias("n"))
     )
 
 

@@ -53,21 +53,39 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcasts dimension parents); each childless check is a left_anti
     the other way, feeding from the child side's distinct keys — the
     fact table contributes its key set once per edge, never its rows."""
+    # one lazy 1-row frame per edge, unioned — the whole audit is a single
+    # deferred plan (24 build-time count jobs folded away, VERDICT r8
+    # item 7); each scalar is a broadcast 1-row aggregate
     frames = []
     for child, ck, parent, pk in _EDGES:
         c = table(spark, sf_dir, child)
         p = table(spark, sf_dir, parent)
-        orphans = c.join(p, c[ck] == p[pk], "left_anti").count()
-        childless = p.join(
-            c.select(ck).distinct(), p[pk] == F.col(ck), "left_anti"
-        ).count()
-        frames.append(
-            (f"{child}.{ck}", c.count(), orphans, p.count(), childless)
+        orphans = (
+            c.join(p, c[ck] == p[pk], "left_anti")
+            .agg(F.count("*").cast("long").alias("n_orphans"))
         )
-    return spark.createDataFrame(
-        frames,
-        "fk_edge string, n_child long, n_orphans long, n_parents long, n_childless long",
-    )
+        childless = (
+            p.join(c.select(ck).distinct(), p[pk] == F.col(ck), "left_anti")
+            .agg(F.count("*").cast("long").alias("n_childless"))
+        )
+        n_child = c.agg(F.count("*").cast("long").alias("n_child"))
+        n_parents = p.agg(F.count("*").cast("long").alias("n_parents"))
+        frames.append(
+            n_child.crossJoin(F.broadcast(orphans))
+            .crossJoin(F.broadcast(n_parents))
+            .crossJoin(F.broadcast(childless))
+            .select(
+                F.lit(f"{child}.{ck}").alias("fk_edge"),
+                "n_child",
+                "n_orphans",
+                "n_parents",
+                "n_childless",
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
 
 
 @query(
@@ -128,9 +146,13 @@ def events_retention_decay_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", F.datediff("d", "d0").alias("k"))
         .where(F.col("k").between(1, 14))
     )
-    n0 = first_seen.count()
-    r = offsets.groupBy("k").agg(
-        (F.countDistinct("user_id") * 1.0 / F.lit(n0)).alias("rate")
+    # cohort size folded in as a 1-row broadcast (no build-time job)
+    n0f = first_seen.agg(F.count("*").cast("long").alias("n0"))
+    r = (
+        offsets.groupBy("k")
+        .agg(F.countDistinct("user_id").alias("ret"))
+        .crossJoin(F.broadcast(n0f))
+        .select("k", (F.col("ret") * 1.0 / F.col("n0")).alias("rate"))
     )
     lr = F.log("rate")
     fit = r.agg(

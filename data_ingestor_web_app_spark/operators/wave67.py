@@ -135,7 +135,10 @@ def events_association_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     items = e.select(
         "user_id", F.col("ts").cast("date").alias("d"), "event_type"
     ).distinct()
-    nb = items.select("user_id", "d").distinct().count()
+    # basket count folded in as a 1-row broadcast (no build-time job)
+    nbf = items.select("user_id", "d").distinct().agg(
+        F.count("*").cast("long").alias("nb")
+    )
     singles = items.groupBy("event_type").agg(F.count("*").cast("long").alias("n"))
     a = items.alias("a")
     b = items.alias("b")
@@ -156,15 +159,18 @@ def events_association_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pairs.join(F.broadcast(sa), "ante")
         .join(F.broadcast(sc), "cons")
+        .crossJoin(F.broadcast(nbf))
         .select(
             "ante",
             "cons",
             "n_ab",
-            F.round(F.col("n_ab") * 1.0 / nb, 6).alias("support"),
+            F.round(F.col("n_ab") * 1.0 / F.col("nb"), 6).alias("support"),
             F.round(F.col("n_ab") * 1.0 / F.col("na"), 6).alias("confidence"),
-            F.round(nb * 1.0 * F.col("n_ab") / (F.col("na") * F.col("nc")), 6).alias(
-                "lift"
-            ),
+            F.round(
+                F.col("nb") * 1.0 * F.col("n_ab")
+                / (F.col("na") * F.col("nc")),
+                6,
+            ).alias("lift"),
         )
     )
 

@@ -234,9 +234,18 @@ def sim_hnsw_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(-F.log(r) * 1.4426950408889634).cast("int"), F.lit(6)
         ).alias("level")
     )
-    total = lv.count()
-    return lv.groupBy("level").agg(
-        F.count("*").cast("long").alias("n_nodes"),
-        F.round(F.count("*") * 1.0 / total, 6).alias("frac"),
-        F.round(F.pow(F.lit(0.5), F.col("level")) * 0.5, 6).alias("expected_frac"),
+    # total folded in as a 1-row broadcast (no build-time count job)
+    totalf = lv.agg(F.count("*").cast("long").alias("total"))
+    return (
+        lv.groupBy("level")
+        .agg(F.count("*").cast("long").alias("n_nodes"))
+        .crossJoin(F.broadcast(totalf))
+        .select(
+            "level",
+            "n_nodes",
+            F.round(F.col("n_nodes") * 1.0 / F.col("total"), 6).alias("frac"),
+            F.round(F.pow(F.lit(0.5), F.col("level")) * 0.5, 6).alias(
+                "expected_frac"
+            ),
+        )
     )

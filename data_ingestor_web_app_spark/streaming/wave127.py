@@ -14,7 +14,42 @@ from data_ingestor_web_app_spark.registry import query
 from data_ingestor_web_app_spark.streaming import runtime
 
 
-@query("stream_rate_limit")  # rows-only: keyed stream state, no SQL twin
+@query(
+    "stream_rate_limit",
+    # The SAME recursive-CTE token-bucket replay that oracles the batch
+    # operator (operators/admission.py events_rate_limit): the streaming
+    # run's per-user fold order is the deterministic (ts, event_id) replay
+    # order, keyed state carries (tokens, last_ms) across micro-batches,
+    # and append mode emits every decision exactly once — so the final
+    # memory-sink table is a pure function of the data and the sequential
+    # fold is SQL-expressible (VERDICT r8 item 6).
+    oracle="""
+    WITH RECURSIVE seq AS (
+        SELECT user_id, event_id,
+               CAST(epoch_ms(ts) AS BIGINT) AS ts_ms,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    ),
+    sim AS (
+        SELECT user_id, event_id, ts_ms, rn,
+               TRUE AS admitted, CAST(1000 AS BIGINT) AS tokens_after
+        FROM seq WHERE rn = 1
+        UNION ALL
+        SELECT q.user_id, q.event_id, q.ts_ms, q.rn,
+               LEAST(s.tokens_after + (q.ts_ms - s.ts_ms) // 7200,
+                     CAST(2000 AS BIGINT)) >= 1000 AS admitted,
+               LEAST(s.tokens_after + (q.ts_ms - s.ts_ms) // 7200,
+                     CAST(2000 AS BIGINT))
+               - CASE WHEN LEAST(s.tokens_after + (q.ts_ms - s.ts_ms) // 7200,
+                                 CAST(2000 AS BIGINT)) >= 1000
+                      THEN 1000 ELSE 0 END AS tokens_after
+        FROM sim s
+        JOIN seq q ON q.user_id = s.user_id AND q.rn = s.rn + 1
+    )
+    SELECT user_id, event_id, admitted, tokens_after FROM sim
+    """,
+)
 def stream_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of events_rate_limit (reference R18, main.go's
     connection cap): the SAME integer milli-token bucket fold, but the

@@ -28,7 +28,8 @@ def test_no_per_query_bench_regression():
     if not latest_p.exists():
         pytest.skip("no local bench run (BENCH_LATEST.json missing)")
     baseline = json.loads((ROOT / "BENCH_BASELINE.json").read_text())["queries"]
-    latest = json.loads(latest_p.read_text())["median"]
+    detail = json.loads(latest_p.read_text())
+    latest = detail["median"]
     regressions = []
     for name, base_sec in baseline.items():
         got = latest.get(name)
@@ -36,4 +37,11 @@ def test_no_per_query_bench_regression():
             continue
         if got > base_sec * REGRESSION_FACTOR:
             regressions.append(f"{name}: {base_sec:.2f}s -> {got:.2f}s ({got / base_sec:.2f}x)")
-    assert not regressions, "bench regressions vs BENCH_BASELINE.json:\n" + "\n".join(regressions)
+    # box-load context recorded by bench.py (VERDICT r8 item 8): printed on
+    # failure so an environment-contended run is self-explaining
+    load = {k: detail.get(k) for k in ("load_start", "load_end") if detail.get(k)}
+    assert not regressions, (
+        "bench regressions vs BENCH_BASELINE.json:\n"
+        + "\n".join(regressions)
+        + f"\nbench-run box load: {json.dumps(load)}"
+    )

@@ -49,7 +49,7 @@ def test_space_saving_bounds_vs_exact(spark):
     exact = {
         (r["shard"], r["user_id"]): r["c"]
         for r in table(spark, SF, "events")
-        .select(F.pmod(F.xxhash64("user_id"), F.lit(8)).alias("shard"), "user_id")
+        .select(F.pmod(F.col("user_id"), F.lit(8)).alias("shard"), "user_id")
         .groupBy("shard", "user_id")
         .agg(F.count("*").alias("c"))
         .collect()
