@@ -458,6 +458,9 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave358",  # CRDT / merkle
     "data_ingestor_web_app_spark.operators.wave359",  # bin packing bounds
     "data_ingestor_web_app_spark.operators.wave360",  # ZIP / beta-binomial MoM
+    # --- round-9 additions (behind the 50-slot window) ---
+    "data_ingestor_web_app_spark.operators.wave362",  # elo replay / littlewood
+    "data_ingestor_web_app_spark.operators.wave363",  # kemeny / tornqvist
 ]
 
 
