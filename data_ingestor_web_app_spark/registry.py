@@ -461,6 +461,8 @@ _MODULES = [
     # --- round-9 additions (behind the 50-slot window) ---
     "data_ingestor_web_app_spark.operators.wave362",  # elo replay / littlewood
     "data_ingestor_web_app_spark.operators.wave363",  # kemeny / tornqvist
+    "data_ingestor_web_app_spark.operators.wave364",  # fligner-killeen / EMSR-b
+    "data_ingestor_web_app_spark.operators.wave365",  # DDM drift / binary segmentation
 ]
 
 
