@@ -463,6 +463,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave363",  # kemeny / tornqvist
     "data_ingestor_web_app_spark.operators.wave364",  # fligner-killeen / EMSR-b
     "data_ingestor_web_app_spark.operators.wave365",  # DDM drift / binary segmentation
+    "data_ingestor_web_app_spark.operators.wave366",  # plackett-luce integer MM
 ]
 
 
