@@ -464,6 +464,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave364",  # fligner-killeen / EMSR-b
     "data_ingestor_web_app_spark.operators.wave365",  # DDM drift / binary segmentation
     "data_ingestor_web_app_spark.operators.wave366",  # plackett-luce integer MM
+    "data_ingestor_web_app_spark.llm.wave367",  # exact-substring dedup / games-howell
 ]
 
 

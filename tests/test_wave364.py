@@ -112,3 +112,84 @@ def test_binary_segmentation_first_split_is_optimal(spark):
         seg = ys[pos : pos + r["n_days"]]
         pos += r["n_days"]
         assert abs(r["seg_mean"] - sum(seg) / len(seg)) < 1e-6
+
+
+def test_plackett_luce_matches_python_integer_mm(spark):
+    """Replay the exact-integer MM in python: identical quantization at
+    every step must reproduce gamma bit-for-bit, and the fitted worths
+    must rank consistently with the choice counts."""
+    daily = {}
+    for r in (
+        table(spark, SF, "events")
+        .groupBy(F.col("ts").cast("date").alias("day"), "event_type")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    ):
+        daily.setdefault(r["day"], []).append((r["event_type"], r["c"]))
+    names = sorted({t for rows in daily.values() for t, _ in rows})
+    idx = {t: i for i, t in enumerate(names)}
+    sets, wins = [], {i: 0 for i in range(len(names))}
+    for rows in daily.values():
+        order = sorted(rows, key=lambda tc: (-tc[1], tc[0]))
+        m = len(order)
+        for s in range(1, m):
+            sets.append([idx[t] for t, _ in order[s - 1 :]])
+        for t, _ in order[: m - 1]:
+            wins[idx[t]] += 1
+    g = {i: 200_000_000 for i in wins}
+    for _ in range(8):
+        dq = {i: 0 for i in wins}
+        for members in sets:
+            dn = sum(g[i] for i in members)
+            for i in members:
+                dq[i] += 10**18 // dn
+        gr = {i: (wins[i] * 10**17) // dq[i] for i in wins}
+        s_tot = sum(gr.values())
+        g = {i: (gr[i] * 10**9) // s_tot for i in wins}
+    rows = QUERIES["model_plackett_luce"](spark, SF).collect()
+    assert len(rows) == len(names)
+    for r in rows:
+        i = idx[r["event_type"]]
+        assert r["n_chosen"] == wins[i]
+        assert r["gamma"] == round(g[i] / 1e9, 6)
+    # worths sum to ~1 after renormalization
+    assert abs(sum(r["gamma"] for r in rows) - 1.0) < 1e-6
+
+
+def test_exact_substring_dedup_vs_python(spark):
+    """Python replay of the ExactSubstr rule: 8-gram ownership by min
+    doc_id, later holders' spans merged into islands."""
+    docs = {
+        r["doc_id"]: r["text"].split(" ")
+        for r in table(spark, SF, "documents").select("doc_id", "text").collect()
+    }
+    K = 8
+    owner = {}
+    for did in sorted(docs):
+        t = docs[did]
+        for s in range(len(t) - K + 1):
+            g = " ".join(t[s : s + K])
+            owner.setdefault(g, did)
+    expect = {}
+    for did in sorted(docs):
+        t = docs[did]
+        spans = sorted(
+            s
+            for s in range(len(t) - K + 1)
+            if owner[" ".join(t[s : s + K])] < did
+        )
+        if not spans:
+            continue
+        total, cur_s, cur_e = 0, spans[0], spans[0] + K - 1
+        for s in spans[1:]:
+            if s > cur_e:
+                total += cur_e - cur_s + 1
+                cur_s, cur_e = s, s + K - 1
+            else:
+                cur_e = max(cur_e, s + K - 1)
+        total += cur_e - cur_s + 1
+        expect[did] = (len(t), total)
+    rows = QUERIES["dedup_exact_substring"](spark, SF).collect()
+    assert {r["doc_id"]: (r["n_tokens"], r["n_dup_tokens"]) for r in rows} == expect
+    for r in rows:
+        assert 0 < r["dup_frac"] <= 1.0
