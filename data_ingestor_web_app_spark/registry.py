@@ -466,6 +466,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave366",  # plackett-luce integer MM
     "data_ingestor_web_app_spark.llm.wave367",  # exact-substring dedup / games-howell
     "data_ingestor_web_app_spark.operators.wave368",  # sinkhorn OT / welch anova
+    "data_ingestor_web_app_spark.llm.wave369",  # watermark detection / mauve frontier
 ]
 
 
