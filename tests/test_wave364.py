@@ -230,3 +230,66 @@ def test_welch_anova_reduces_to_f_on_equal_groups(spark):
     # df2 for k=3 is bounded by the smallest group's n-1 times k-ish;
     # must be positive and finite
     assert row["df2"] > 0.0
+
+
+def test_ktruss_peel_properties(spark):
+    """Monotone peel + the 4-truss invariant at the fixed point: every
+    surviving edge participates in >= 2 triangles of the survivors."""
+    row = QUERIES["graph_ktruss_unrolled"](spark, SF).first()
+    ns = [row[f"n_edges_{r}"] for r in range(4)]
+    assert ns[0] >= ns[1] >= ns[2] >= ns[3] >= 0
+    assert row["converged"] == (ns[2] == ns[3])
+    if row["converged"] and ns[3] > 0:
+        # rebuild the surviving graph in python and verify the invariant
+        from pyspark.sql import functions as FF
+
+        buckets = (
+            table(spark, SF, "events")
+            .select("user_id", "event_type", FF.date_trunc("minute", "ts").alias("m"))
+            .distinct()
+        )
+        a, b = buckets.alias("a"), buckets.alias("b")
+        edges = {
+            (r["u"], r["v"])
+            for r in a.join(
+                b,
+                (FF.col("b.event_type") == FF.col("a.event_type"))
+                & (FF.col("b.m") == FF.col("a.m"))
+                & (FF.col("a.user_id") < FF.col("b.user_id")),
+            )
+            .select(FF.col("a.user_id").alias("u"), FF.col("b.user_id").alias("v"))
+            .distinct()
+            .collect()
+        }
+        cur = set(edges)
+        for _ in range(3):
+            tri_count = {}
+            es = cur
+            adj = {}
+            for u, v in es:
+                adj.setdefault(u, set()).add(v)
+                adj.setdefault(v, set()).add(u)
+            for u, v in es:
+                common = adj[u] & adj[v]
+                tri_count[(u, v)] = len(common)
+            cur = {e for e in es if tri_count[e] >= 2}
+        assert len(cur) == ns[3]
+        # invariant at the fixed point
+        adj = {}
+        for u, v in cur:
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+        assert all(len(adj[u] & adj[v]) >= 2 for u, v in cur)
+
+
+def test_chrf_pairs_bounds_and_symmetry(spark):
+    rows = QUERIES["text_chrf_pairs"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["hyp_id"] % 2 == 0 and r["ref_id"] == r["hyp_id"] + 1
+        assert 0.0 < r["chr_precision"] <= 1.0
+        assert 0.0 < r["chr_recall"] <= 1.0
+        lo = min(r["chr_precision"], r["chr_recall"])
+        hi = max(r["chr_precision"], r["chr_recall"])
+        # F-beta lies between min and max of P and R
+        assert lo - 1e-9 <= r["chrf2"] <= hi + 1e-9
