@@ -468,6 +468,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave368",  # sinkhorn OT / welch anova
     "data_ingestor_web_app_spark.llm.wave369",  # watermark detection / mauve frontier
     "data_ingestor_web_app_spark.operators.wave370",  # k-truss / chrF
+    "data_ingestor_web_app_spark.operators.wave371",  # bass diffusion
 ]
 
 

@@ -293,3 +293,36 @@ def test_chrf_pairs_bounds_and_symmetry(spark):
         hi = max(r["chr_precision"], r["chr_recall"])
         # F-beta lies between min and max of P and R
         assert lo - 1e-9 <= r["chrf2"] <= hi + 1e-9
+
+
+def test_bass_diffusion_vs_numpy_lstsq(spark):
+    """The Cramer solution must match numpy's least squares on the same
+    design matrix, and the structural identities must hold."""
+    import numpy as np
+
+    daily = sorted(
+        (r["day"], r["s"])
+        for r in table(spark, SF, "events")
+        .where(F.col("event_type") == "signup")
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(F.count("*").alias("s"))
+        .collect()
+    )
+    s = np.array([v for _, v in daily], dtype=float)
+    cprev = np.concatenate([[0.0], np.cumsum(s)[:-1]])
+    X = np.stack([np.ones_like(cprev), cprev, cprev**2], axis=1)
+    a, b, c = np.linalg.lstsq(X, s, rcond=None)[0]
+    row = QUERIES["model_bass_diffusion"](spark, SF).first()
+    assert row["n_days"] == len(s)
+    assert abs(row["coef_a"] - a) < 1e-4
+    assert abs(row["coef_b"] - b) < 1e-4
+    assert abs(row["coef_c"] - c) < max(1e-6, abs(c) * 1e-3)
+    disc = b * b - 4 * c * a
+    if disc >= 0 and row["m_potential"] is not None:
+        m = (-b - disc**0.5) / (2 * c)
+        assert abs(row["m_potential"] - m) < max(0.05, abs(m) * 1e-3)
+        # identities: p = a/m, q = b + p
+        assert abs(row["p_innovation"] - a / m) < 1e-4
+        assert abs(row["q_imitation"] - (b + a / m)) < 1e-4
+    else:
+        assert row["m_potential"] is None
