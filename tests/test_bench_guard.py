@@ -1,27 +1,44 @@
 """Per-query bench regression guard.
 
-Compares the most recent local bench run (BENCH_LATEST.json, written by
-bench.py) against the committed baseline (BENCH_BASELINE.json = per-query
-best across driver rounds, ALL 59 headline queries since r9). Skips cleanly
-when no local bench run exists (CI or a fresh clone).
+Compares a QUALIFYING local bench run against the committed baseline
+(BENCH_BASELINE.json = per-query best across driver rounds, ALL 59 headline
+queries since r9). Skips cleanly when no qualifying bench run exists.
 
-MIN-OF-REPS + DRIFT NORMALIZATION (r9): four consecutive rounds of interleaved A/B
-(r6 ingest, r7 ingest, r8 ingest, r9 sim_mmd_poly — BENCH_SCALE.md) pinned
-every outsized round-over-round move on box contention, which inflates ALL
-queries by a common factor (1.13x-1.48x median observed). Comparing each
-query's ratio-to-baseline against an absolute 1.5x band therefore fires on
-the environment, not the code. The guard now flags a query only when its
-ratio exceeds REGRESSION_FACTOR x the MEDIAN ratio across all pinned
-queries (floored at 1.0 so a fast box never loosens the band): uniform
-drift cancels, while a single query regressing against its peers — the
-actual plan-regression signature — still fails loudly. Box-load context
-recorded by bench.py is printed on failure so the run is self-explaining.
+MIN-OF-REPS + DRIFT NORMALIZATION (r9): four consecutive rounds of
+interleaved A/B (r6 ingest, r7 ingest, r8 ingest, r9 sim_mmd_poly —
+BENCH_SCALE.md) pinned every outsized round-over-round move on box
+contention, which inflates ALL queries by a common factor (1.13x-1.48x
+median observed). The guard flags a query only when its ratio exceeds
+REGRESSION_FACTOR x the MEDIAN ratio across all pinned queries (floored at
+1.0): uniform drift cancels, while a single query regressing against its
+peers — the plan-regression signature — fails loudly.
+
+ARTIFACT QUALIFICATION (r10, VERDICT r9 item 1): BENCH_LATEST.json is
+dual-use — the builder's certification artifact AND the driver's
+post-commit scratch output. In r9 the driver clobbered a committed 5-rep
+clean-box artifact with a 3-rep run started at loadavg-1m 9.57, and
+min-of-3-reps never got a clean scheduling slot (agg_ks_test reps
+[0.894, 0.856, 0.847] vs a 0.586 min on the clean run) — the guard went
+red with zero code change. min-of-reps only converges to "can the plan
+still go this fast" with enough reps; below MIN_REPS the artifact is not
+evidence. The guard therefore prefers the working-tree artifact only when
+it has >= MIN_REPS reps, falls back to the committed HEAD artifact
+(`git show HEAD:BENCH_LATEST.json`) otherwise, and skips with an
+instruction to re-bench when neither qualifies.
+
+ABSOLUTE CEILING (r10, ADVICE r9): drift normalization alone would let a
+genuinely uniform code regression (e.g. in shared io.table) hide as "box
+contention". If the median ratio itself exceeds DRIFT_CEILING while the
+recorded load context says the box was idle (loadavg_1m at bench start
+below IDLE_LOAD_FRACTION x cpus), contention is excluded and the uniform
+slowdown is attributed to the code — fail.
 """
 
 from __future__ import annotations
 
 import json
 import statistics
+import subprocess
 from pathlib import Path
 
 import pytest
@@ -31,33 +48,200 @@ REGRESSION_FACTOR = 1.5
 # absolute floor: sub-0.5s queries are scheduler-noise-bound at sf0.1 —
 # a 0.2s -> 0.35s move is not a regression signal
 MIN_BASELINE_SEC = 0.5
+# min-of-reps needs this many samples to converge under ambient load
+MIN_REPS = 5
+# uniform-slowdown ceiling: median drift above this on an idle box is code
+DRIFT_CEILING = 2.5
+# "idle box" = loadavg_1m at bench start under this fraction of cpu count
+IDLE_LOAD_FRACTION = 0.2
 
 
-def test_no_per_query_bench_regression():
-    latest_p = ROOT / "BENCH_LATEST.json"
-    if not latest_p.exists():
-        pytest.skip("no local bench run (BENCH_LATEST.json missing)")
-    baseline = json.loads((ROOT / "BENCH_BASELINE.json").read_text())["queries"]
-    detail = json.loads(latest_p.read_text())
+def check_bench(detail: dict, baseline: dict[str, float]) -> list[str]:
+    """Pure guard core: return a list of human-readable violations
+    (empty = green). ``detail`` is a bench.py artifact dict; ``baseline``
+    maps query name -> pinned best-median seconds."""
     latest = detail["min"]
     ratios = {
         name: latest[name] / base_sec
         for name, base_sec in baseline.items()
         if name in latest and base_sec >= MIN_BASELINE_SEC
     }
-    assert ratios, "no comparable queries between BENCH_LATEST and baseline"
+    if not ratios:
+        return ["no comparable queries between bench artifact and baseline"]
     drift = max(1.0, statistics.median(ratios.values()))
     band = REGRESSION_FACTOR * drift
-    regressions = [
+    load = {k: detail.get(k) for k in ("load_start", "load_end") if detail.get(k)}
+    violations = [
         f"{name}: {baseline[name]:.2f}s -> {latest[name]:.2f}s "
-        f"({r:.2f}x vs {drift:.2f}x median drift)"
+        f"({r:.2f}x vs {drift:.2f}x median drift; band {band:.2f}x) "
+        f"bench-run box load: {json.dumps(load)}"
         for name, r in sorted(ratios.items(), key=lambda kv: -kv[1])
         if r > band
     ]
-    load = {k: detail.get(k) for k in ("load_start", "load_end") if detail.get(k)}
-    assert not regressions, (
-        f"bench regressions vs BENCH_BASELINE.json (band {band:.2f}x = "
-        f"{REGRESSION_FACTOR} x {drift:.2f}x median drift):\n"
-        + "\n".join(regressions)
-        + f"\nbench-run box load: {json.dumps(load)}"
+    # absolute ceiling: uniform regression can't hide behind normalization
+    # when the recorded load context excludes contention
+    start = detail.get("load_start") or {}
+    la1 = start.get("loadavg_1m")
+    cpus = start.get("cpus") or 32
+    idle = la1 is not None and la1 < IDLE_LOAD_FRACTION * cpus
+    if drift > DRIFT_CEILING and idle:
+        violations.append(
+            f"UNIFORM regression: median drift {drift:.2f}x > "
+            f"{DRIFT_CEILING}x ceiling on an idle box "
+            f"(loadavg_1m {la1} on {cpus} cpus) — shared-path code "
+            f"slowdown, not contention"
+        )
+    return violations
+
+
+def qualifying_artifact() -> tuple[dict, str] | None:
+    """Pick the bench artifact the guard should trust: the working-tree
+    BENCH_LATEST.json when it has >= MIN_REPS reps, else the committed
+    HEAD version (the builder's certification run), else None."""
+    latest_p = ROOT / "BENCH_LATEST.json"
+    if latest_p.exists():
+        detail = json.loads(latest_p.read_text())
+        if detail.get("n_reps", 0) >= MIN_REPS:
+            return detail, "working-tree BENCH_LATEST.json"
+    try:
+        blob = subprocess.run(
+            ["git", "show", "HEAD:BENCH_LATEST.json"],
+            cwd=ROOT,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        detail = json.loads(blob)
+        if detail.get("n_reps", 0) >= MIN_REPS:
+            return detail, "committed HEAD:BENCH_LATEST.json"
+    except (subprocess.CalledProcessError, json.JSONDecodeError, OSError):
+        pass
+    return None
+
+
+def test_no_per_query_bench_regression():
+    picked = qualifying_artifact()
+    if picked is None:
+        pytest.skip(
+            f"no bench artifact with n_reps >= {MIN_REPS} (working tree or "
+            f"HEAD) — re-run: SPARK_GRAFT_BENCH_REPS={MIN_REPS} python bench.py"
+        )
+    detail, source = picked
+    baseline = json.loads((ROOT / "BENCH_BASELINE.json").read_text())["queries"]
+    violations = check_bench(detail, baseline)
+    assert not violations, (
+        f"bench regressions vs BENCH_BASELINE.json (artifact: {source}):\n"
+        + "\n".join(violations)
     )
+
+
+# ---------------------------------------------------------------------------
+# fixture tests: the r9 failure scenario and the regressions the guard must
+# still catch, simulated without running a bench
+# ---------------------------------------------------------------------------
+
+_BASE = {"q_slow": 2.0, "q_mid": 1.0, "q_fast": 0.6, "q_tiny": 0.2}
+
+
+def _detail(mins: dict[str, float], n_reps: int = 5, la1: float = 0.5) -> dict:
+    return {
+        "n_reps": n_reps,
+        "min": mins,
+        "load_start": {"loadavg_1m": la1, "cpus": 32},
+        "load_end": {"loadavg_1m": la1, "cpus": 32},
+    }
+
+
+def test_guard_green_on_clean_match():
+    d = _detail({"q_slow": 2.1, "q_mid": 0.95, "q_fast": 0.62, "q_tiny": 0.5})
+    assert check_bench(d, _BASE) == []
+
+
+def test_guard_catches_single_query_regression():
+    # one query 3x its pin while peers hold: the plan-regression signature
+    d = _detail({"q_slow": 6.0, "q_mid": 1.0, "q_fast": 0.6, "q_tiny": 0.2})
+    out = check_bench(d, _BASE)
+    assert len(out) == 1 and out[0].startswith("q_slow:")
+
+
+def test_guard_ignores_uniform_contention_drift():
+    # everything 1.4x under load: contention, not code — must stay green
+    d = _detail(
+        {"q_slow": 2.8, "q_mid": 1.4, "q_fast": 0.84, "q_tiny": 0.28},
+        la1=9.5,
+    )
+    assert check_bench(d, _BASE) == []
+
+
+def test_guard_catches_uniform_regression_on_idle_box():
+    # everything 3x with loadavg 0.3 on 32 cpus: shared-path code slowdown
+    d = _detail(
+        {"q_slow": 6.0, "q_mid": 3.0, "q_fast": 1.8, "q_tiny": 0.6},
+        la1=0.3,
+    )
+    out = check_bench(d, _BASE)
+    assert any("UNIFORM regression" in v for v in out)
+
+
+def test_guard_allows_uniform_drift_under_load():
+    # same 3x uniform but loadavg 12: ceiling suppressed, contention plausible
+    d = _detail(
+        {"q_slow": 6.0, "q_mid": 3.0, "q_fast": 1.8, "q_tiny": 0.6},
+        la1=12.0,
+    )
+    assert check_bench(d, _BASE) == []
+
+
+def test_artifact_qualification_rejects_short_rep_clobber(tmp_path, monkeypatch):
+    """The exact r9 incident: driver clobbers the committed 5-rep artifact
+    with a 3-rep loaded run. The guard must NOT read the clobber; with a
+    5-rep committed artifact available it falls back to that, and with no
+    qualifying artifact anywhere it reports None (-> pytest.skip)."""
+    import tests.test_bench_guard as g
+
+    repo = tmp_path
+    clobber = _detail({"q_slow": 3.2}, n_reps=3, la1=9.57)
+    (repo / "BENCH_LATEST.json").write_text(json.dumps(clobber))
+    monkeypatch.setattr(g, "ROOT", repo)
+
+    # no git repo at tmp_path -> committed fallback unavailable -> None
+    assert g.qualifying_artifact() is None
+
+    # a qualifying working-tree artifact is picked directly
+    good = _detail({"q_slow": 2.1}, n_reps=5, la1=0.5)
+    (repo / "BENCH_LATEST.json").write_text(json.dumps(good))
+    picked = g.qualifying_artifact()
+    assert picked is not None
+    detail, source = picked
+    assert detail["n_reps"] == 5 and source == "working-tree BENCH_LATEST.json"
+
+
+def test_artifact_qualification_falls_back_to_committed(tmp_path, monkeypatch):
+    """With a real git repo whose HEAD holds a 5-rep artifact and a 3-rep
+    clobber in the working tree, the guard reads HEAD's version."""
+    import tests.test_bench_guard as g
+
+    repo = tmp_path
+    subprocess.run(["git", "init", "-q"], cwd=repo, check=True)
+    subprocess.run(
+        ["git", "-c", "user.email=t@t", "-c", "user.name=t", "commit",
+         "-q", "--allow-empty", "-m", "seed"],
+        cwd=repo,
+        check=True,
+    )
+    good = _detail({"q_slow": 2.1}, n_reps=5, la1=0.5)
+    (repo / "BENCH_LATEST.json").write_text(json.dumps(good))
+    subprocess.run(["git", "add", "BENCH_LATEST.json"], cwd=repo, check=True)
+    subprocess.run(
+        ["git", "-c", "user.email=t@t", "-c", "user.name=t", "commit",
+         "-q", "-m", "bench"],
+        cwd=repo,
+        check=True,
+    )
+    clobber = _detail({"q_slow": 3.2}, n_reps=3, la1=9.57)
+    (repo / "BENCH_LATEST.json").write_text(json.dumps(clobber))
+    monkeypatch.setattr(g, "ROOT", repo)
+    picked = g.qualifying_artifact()
+    assert picked is not None
+    detail, source = picked
+    assert detail["n_reps"] == 5 and source == "committed HEAD:BENCH_LATEST.json"
