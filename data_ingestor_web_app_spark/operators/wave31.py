@@ -133,7 +133,7 @@ def agg_session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the filesystem — a metadata row-count proxy that costs no Spark
     job at build time (the eager-action lint's contract)."""
     e = table(spark, sf_dir, "events")
-    if _events_input_bytes(sf_dir) > _SALT_ESCALATE_BYTES:
+    if _events_input_bytes(spark, sf_dir) > _SALT_ESCALATE_BYTES:
         return _session_two_phase(e)
     sess = e.groupBy(F.session_window("ts", "30 minutes"), "user_id").agg(
         F.count("*").alias("n_events"),
@@ -157,17 +157,40 @@ _GAP_US = 1_800_000_000  # 30 minutes
 _BUCKET_US = 3_600_000_000  # 1-hour salt buckets (>= gap, ~720/month)
 
 
-def _events_input_bytes(sf_dir: str) -> int:
-    """Filesystem size of the events table — the no-job escalation gate."""
+def _events_input_bytes(spark: SparkSession, sf_dir: str) -> int:
+    """Size of the events table — the no-job escalation gate.
+
+    Local paths use os.stat directly; non-local URIs (s3a://, hdfs://)
+    fall back to the Hadoop FileSystem content summary — still a pure
+    metadata call, no Spark job (ADVICE r9: the os.walk-only probe
+    silently returned 0 on remote deployments, so the hot-key salted
+    path never engaged and the plan shape became environment-dependent
+    with no signal). If every probe comes up empty we warn loudly
+    instead of silently staying on the direct plan."""
     import os
 
     path = os.path.join(sf_dir, "events.parquet")
     if os.path.isfile(path):
         return os.path.getsize(path)
-    total = 0
-    for root, _dirs, files in os.walk(path):
-        total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
-    return total
+    if os.path.isdir(path):
+        total = 0
+        for root, _dirs, files in os.walk(path):
+            total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+        return total
+    try:
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        return int(fs.getContentSummary(hpath).getLength())
+    except Exception:  # noqa: BLE001 — probe failure must not kill the query
+        import warnings
+
+        warnings.warn(
+            f"session-window escalation size probe found nothing at {path}; "
+            "staying on the direct (unsalted) plan",
+            stacklevel=2,
+        )
+        return 0
 
 
 def _session_two_phase(e: DataFrame) -> DataFrame:

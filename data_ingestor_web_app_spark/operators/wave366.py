@@ -46,8 +46,12 @@ def _pl_iter_sql(t: int) -> str:
         -- to raw{t} would double the inlined lineage per iteration (2^T
         -- blowup, the NOTES_BUILD chained-frames pitfall) in BOTH engines
         SELECT i,
-               (gr * CAST(1000000000 AS BIGINT))
-                   // SUM(gr) OVER () AS g_nano
+               -- GREATEST(..., 1) clamp (ADVICE r9): floor renormalization
+               -- on highly skewed data can zero an entire choice set, making
+               -- dn = 0 next round — DuckDB // would raise while Spark div
+               -- yields NULL; the clamp keeps the fixed point total in both
+               GREATEST((gr * CAST(1000000000 AS BIGINT))
+                   // SUM(gr) OVER (), 1) AS g_nano
         FROM raw{t}
     )"""
 
@@ -170,11 +174,14 @@ def model_plackett_luce(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         # window normalization keeps ONE reference to raw per iteration
-        # (a crossJoin(agg(raw)) would reference it twice -> 2^T lineage)
+        # (a crossJoin(agg(raw)) would reference it twice -> 2^T lineage);
+        # greatest(..., 1) clamp mirrors the oracle (ADVICE r9): floor
+        # renormalization must never zero a whole choice set (dn = 0 would
+        # be DuckDB div-by-zero vs Spark silent NULL)
         g = raw.select(
             "i",
             F.expr(
-                "(gr * 1000000000L) div sum(gr) over ()"
+                "greatest((gr * 1000000000L) div sum(gr) over (), 1L)"
             ).alias("g_nano"),
         )
     return (

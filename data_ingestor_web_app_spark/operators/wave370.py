@@ -78,7 +78,16 @@ def graph_ktruss_unrolled(spark: SparkSession, sf_dir: str) -> DataFrame:
     edge-keyed support count — all equi-joins AQE can re-order; rounds
     are cached so the 3-reference triangle join reuses one edge
     materialization instead of re-deriving the co-occurrence self-join
-    (the same reason the oracle marks ed{{r}} MATERIALIZED)."""
+    (the same reason the oracle marks ed{{r}} MATERIALIZED).
+
+    Cache lifecycle (ADVICE r9): the 4 per-round caches are lazy reuse
+    markers referenced by BOTH the round's count and the next round's
+    peel, so none is "superseded" inside the plan and an in-builder
+    unpersist would either trigger an eager action (forbidden by the
+    build-time lint) or cube the recompute (3 refs/round). Storage
+    cleanup is the DRIVER'S job: sweep tools call
+    spark.catalog.clearCache() between queries (tools/check_oracle.py),
+    keeping full-registry sweeps flat."""
     buckets = (
         table(spark, sf_dir, "events")
         .select(

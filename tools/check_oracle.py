@@ -154,6 +154,11 @@ def main():
         if name not in queries:
             print(f"?? {name}: not registered")
             continue
+        # lifecycle belongs to the driver, not the builders (ADVICE r9):
+        # iterative queries cache per-round frames as lazy reuse markers;
+        # dropping the previous query's entries keeps a full-registry
+        # sweep's executor storage flat instead of accumulating
+        spark.catalog.clearCache()
         t0 = time.time()
         try:
             sdf = queries[name](spark, args.sf)

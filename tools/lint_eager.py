@@ -15,7 +15,7 @@ from pyspark.sql import SparkSession
 # dispatch on the CLASSIC concrete class — patch that one.
 from pyspark.sql.classic.dataframe import DataFrame
 
-ACTIONS = ["count", "collect", "first", "take", "head", "tail", "toPandas", "isEmpty"]
+ACTIONS = ["count", "collect", "first", "take", "head", "tail", "toPandas", "isEmpty", "show", "foreach", "foreachPartition"]
 
 
 def main() -> None:
