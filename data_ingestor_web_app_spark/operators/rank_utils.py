@@ -58,3 +58,29 @@ def ntile_from_index(index: Column, n_rows: Column, tiles: int) -> Column:
         .otherwise(rem + F.ceil((index - head) / F.greatest(base, F.lit(1))))
         .cast("int")
     )
+
+
+# Shared oracle-SQL prelude: three "voters" rank the event types (daily
+# count, milli-value total, distinct-user reach) — the multi-metric ranking
+# fusion every leaderboard faces. Lives HERE (a non-registering helper
+# module) so wave328 can import it without triggering wave144's @query
+# registrations out of registry order (r10: a cross-wave import was pulling
+# three r7-checked names into the r10 driver window).
+RANKERS_SQL = """
+    m AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(ROUND(value * 1000) AS BIGINT)) AS BIGINT)
+                   AS v_milli,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS reach
+        FROM events GROUP BY event_type
+    ),
+    r AS (
+        SELECT event_type,
+               ROW_NUMBER() OVER (ORDER BY n_events DESC, event_type) AS r1,
+               ROW_NUMBER() OVER (ORDER BY v_milli DESC, event_type) AS r2,
+               ROW_NUMBER() OVER (ORDER BY reach DESC, event_type) AS r3,
+               COUNT(*) OVER () AS k
+        FROM m
+    )
+"""

@@ -11,27 +11,9 @@ from pyspark.sql.window import Window
 from data_ingestor_web_app_spark.io import table
 from data_ingestor_web_app_spark.registry import query
 
-# three "voters" rank the event types: daily-average count, milli-value
-# total, and distinct-user reach — the multi-metric ranking fusion every
-# leaderboard faces.
-_RANKERS_SQL = """
-    m AS (
-        SELECT event_type,
-               CAST(COUNT(*) AS BIGINT) AS n_events,
-               CAST(SUM(CAST(ROUND(value * 1000) AS BIGINT)) AS BIGINT)
-                   AS v_milli,
-               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS reach
-        FROM events GROUP BY event_type
-    ),
-    r AS (
-        SELECT event_type,
-               ROW_NUMBER() OVER (ORDER BY n_events DESC, event_type) AS r1,
-               ROW_NUMBER() OVER (ORDER BY v_milli DESC, event_type) AS r2,
-               ROW_NUMBER() OVER (ORDER BY reach DESC, event_type) AS r3,
-               COUNT(*) OVER () AS k
-        FROM m
-    )
-"""
+from data_ingestor_web_app_spark.operators.rank_utils import (
+    RANKERS_SQL as _RANKERS_SQL,
+)
 
 
 @query(

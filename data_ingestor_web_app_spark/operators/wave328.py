@@ -12,7 +12,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_ingestor_web_app_spark.io import table
-from data_ingestor_web_app_spark.operators.wave144 import _RANKERS_SQL
+from data_ingestor_web_app_spark.operators.rank_utils import (
+    RANKERS_SQL as _RANKERS_SQL,
+)
 from data_ingestor_web_app_spark.registry import query
 
 _SEATS = 10

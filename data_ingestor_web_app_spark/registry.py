@@ -11,6 +11,15 @@ Determinism contract (SURVEY §7 hard parts):
 - ``lower(hex(...))`` everywhere (Go %x parity);
 - any top-k / row_number has a total order (unique tie-break column);
 - never ``current_timestamp()`` inside a checked query.
+
+INDEPENDENT-REPLAY INVARIANT (stated r10, after the wave-371 incident):
+every closed-form fit (OLS/determinant/moment solve/fixed-point) MUST ship
+with a pytest that recomputes the answer through an INDEPENDENT path
+(numpy/pure python), not just the mirrored DuckDB oracle. Mirrored oracles
+share the builder's algebra, so a transcription error can hash-match in
+both engines — the wave-371 Bass-diffusion cofactor slip did exactly that
+and only the numpy lstsq cross-check caught it. The oracle gate proves the
+two ENGINES agree; the replay pytest proves the MATH is right.
 """
 
 from __future__ import annotations
@@ -39,12 +48,36 @@ ORACLES: dict[str, str] = {}
 # New queries this round must be added to BACK-of-list modules (or new
 # modules appended after the window block) so they don't shift slots 1-50.
 _MODULES = [
-    # --- round-9 driver window: exactly 50 never-driver-checked queries
-    #     (waves 294-317, the oldest never-sampled block after r8 covered
-    #     267-293, plus wave361's Kneedle knee detection — the newest
-    #     post-certification code, fronted so the judge sees it checked;
-    #     every slot is SQL-oracle-backed; the r8 window block
-    #     wave267..wave293 is demoted below) ---
+    # --- round-10 driver window: exactly 50 never-driver-checked queries
+    #     (waves 318-337 = 48 queries + wave339 + wave342 = 50 — the oldest
+    #     never-sampled block after r9 covered 294-317+361; every slot is
+    #     SQL-oracle-backed; the committed WINDOW_PLAN.json pins this list
+    #     and tests/test_window_plan.py asserts front-50 == plan with zero
+    #     overlap vs the r1-r9 CORRECTNESS artifacts; the r9 window block
+    #     wave294..wave317+361 is demoted below) ---
+    "data_ingestor_web_app_spark.operators.wave318",  # 2 (cum 2)
+    "data_ingestor_web_app_spark.operators.wave319",  # 2 (cum 4)
+    "data_ingestor_web_app_spark.operators.wave320",  # 2 (cum 6)
+    "data_ingestor_web_app_spark.operators.wave321",  # 2 (cum 8)
+    "data_ingestor_web_app_spark.operators.wave322",  # 1 (cum 9)
+    "data_ingestor_web_app_spark.operators.wave323",  # 2 (cum 11)
+    "data_ingestor_web_app_spark.operators.wave324",  # 2 (cum 13)
+    "data_ingestor_web_app_spark.operators.wave325",  # 2 (cum 15)
+    "data_ingestor_web_app_spark.operators.wave326",  # 2 (cum 17)
+    "data_ingestor_web_app_spark.operators.wave327",  # 5 (cum 22)
+    "data_ingestor_web_app_spark.operators.wave328",  # 3 (cum 25)
+    "data_ingestor_web_app_spark.operators.wave329",  # 3 (cum 28)
+    "data_ingestor_web_app_spark.operators.wave330",  # 3 (cum 31)
+    "data_ingestor_web_app_spark.operators.wave331",  # 3 (cum 34)
+    "data_ingestor_web_app_spark.operators.wave332",  # 3 (cum 37)
+    "data_ingestor_web_app_spark.operators.wave333",  # 2 (cum 39)
+    "data_ingestor_web_app_spark.operators.wave334",  # 2 (cum 41)
+    "data_ingestor_web_app_spark.operators.wave335",  # 2 (cum 43)
+    "data_ingestor_web_app_spark.operators.wave336",  # 2 (cum 45)
+    "data_ingestor_web_app_spark.operators.wave337",  # 3 (cum 48)
+    "data_ingestor_web_app_spark.operators.wave339",  # 1 (cum 49)
+    "data_ingestor_web_app_spark.operators.wave342",  # 1 (cum 50)
+    # --- r9 window (waves 294-317 + 361, driver-checked in r9) demoted ---
     "data_ingestor_web_app_spark.operators.wave294",  # 2 (cum 2)
     "data_ingestor_web_app_spark.operators.wave295",  # 2 (cum 4)
     "data_ingestor_web_app_spark.operators.wave296",  # 2 (cum 6)
@@ -415,31 +448,9 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave265",
     "data_ingestor_web_app_spark.llm.wave266",
     "data_ingestor_web_app_spark.operators.wave268",
-    "data_ingestor_web_app_spark.operators.wave318",
-    "data_ingestor_web_app_spark.operators.wave319",
-    "data_ingestor_web_app_spark.operators.wave320",
-    "data_ingestor_web_app_spark.operators.wave321",
-    "data_ingestor_web_app_spark.operators.wave322",
-    "data_ingestor_web_app_spark.operators.wave323",
-    "data_ingestor_web_app_spark.operators.wave324",
-    "data_ingestor_web_app_spark.operators.wave325",
-    "data_ingestor_web_app_spark.operators.wave326",
-    "data_ingestor_web_app_spark.operators.wave327",
-    "data_ingestor_web_app_spark.operators.wave328",
-    "data_ingestor_web_app_spark.operators.wave329",
-    "data_ingestor_web_app_spark.operators.wave330",
-    "data_ingestor_web_app_spark.operators.wave331",
-    "data_ingestor_web_app_spark.operators.wave332",  # allan/hjorth/secretary
-    "data_ingestor_web_app_spark.operators.wave333",  # win ratio / CPM-PERT
-    "data_ingestor_web_app_spark.operators.wave334",  # damerau-DL / huffman
-    "data_ingestor_web_app_spark.operators.wave335",  # buhlmann / B-F reserve
-    "data_ingestor_web_app_spark.operators.wave336",  # black-scholes / jaro
-    "data_ingestor_web_app_spark.operators.wave337",  # chatterjee/siegel/p-chart
     "data_ingestor_web_app_spark.operators.wave338",  # effect sizes/life table/visibility
-    "data_ingestor_web_app_spark.operators.wave339",  # wagner-whitin DP
     "data_ingestor_web_app_spark.operators.wave340",  # breslow-day/wkappa/bws
     "data_ingestor_web_app_spark.operators.wave341",  # haversine/polygon/hilbert
-    "data_ingestor_web_app_spark.operators.wave342",  # rendezvous hashing
     "data_ingestor_web_app_spark.operators.wave343",  # MUS sampling / CORDIC
     "data_ingestor_web_app_spark.operators.wave344",  # EDD/WSPT/vickrey
     "data_ingestor_web_app_spark.operators.wave345",  # simrank
