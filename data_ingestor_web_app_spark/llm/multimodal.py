@@ -408,14 +408,26 @@ def mm_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def band_energies(samples: list[int], rate: int) -> tuple[list[float], int]:
     """Normalized spectral energy in four 1 kHz bands (0-1k … 3k-Nyquist)
     plus the argmax band. Pure numpy — shared by the operator and its
-    pytest golden (pure-sine inputs must land in the right band)."""
+    pytest golden (pure-sine inputs must land in the right band).
+
+    Band membership of bin k (frequency k*rate/n) is decided by the EXACT
+    integer comparison k*rate < edge*n, never by float frequencies: the
+    r10 oracle work found np.fft.rfftfreq's inexact d=1/rate put an
+    exactly-1000 Hz bin a hair BELOW 1000.0, silently moving whole bins
+    across bands — the float edges were an approximation of this integer
+    test, not the other way round."""
     import numpy as np
 
     x = np.asarray(samples, dtype=np.float64)
+    n = len(x)
     spec = np.abs(np.fft.rfft(x)) ** 2
-    freqs = np.fft.rfftfreq(len(x), d=1.0 / rate)
-    edges = [0.0, 1000.0, 2000.0, 3000.0, rate / 2 + 1]
-    e = [float(spec[(freqs >= lo) & (freqs < hi)].sum()) for lo, hi in zip(edges, edges[1:])]
+    k = np.arange(spec.shape[0])
+    e = []
+    for lo, hi in ((0, 1000), (1000, 2000), (2000, 3000), (3000, None)):
+        m = k * rate >= lo * n
+        if hi is not None:
+            m &= k * rate < hi * n
+        e.append(float(spec[m].sum()))
     tot = sum(e) or 1.0
     return [round(v / tot, 6) for v in e], int(max(range(4), key=lambda i: e[i]))
 
@@ -504,13 +516,61 @@ def mm_audio_dft_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("mm_audio_spectral")  # rows-only: FFT band energies have no SQL twin
+@query(
+    "mm_audio_spectral",
+    oracle="""
+    WITH docs AS (
+        SELECT doc_id, 800 + (doc_id % 10) * 80 AS n
+        FROM documents WHERE doc_id < 200
+    ),
+    terms AS (
+        SELECT doc_id, n, k, i,
+               CAST((i * (doc_id + 7)) % 2048 - 1024 AS DOUBLE) AS v,
+               2 * PI() * ((k * i) % n) / n AS w
+        FROM (SELECT doc_id, n, UNNEST(RANGE(n // 2 + 1)) AS k FROM docs),
+             LATERAL (SELECT UNNEST(RANGE(n)) AS i)
+    ),
+    spec AS (
+        SELECT doc_id, n, k,
+               SUM(v * COS(w)) AS c, SUM(v * SIN(w)) AS s
+        FROM terms GROUP BY doc_id, n, k
+    ),
+    bande AS (
+        SELECT doc_id,
+               SUM(CASE WHEN k * 8000 < 1000 * n THEN c*c + s*s ELSE 0 END) AS e0,
+               SUM(CASE WHEN k * 8000 >= 1000 * n AND k * 8000 < 2000 * n
+                        THEN c*c + s*s ELSE 0 END) AS e1,
+               SUM(CASE WHEN k * 8000 >= 2000 * n AND k * 8000 < 3000 * n
+                        THEN c*c + s*s ELSE 0 END) AS e2,
+               SUM(CASE WHEN k * 8000 >= 3000 * n THEN c*c + s*s ELSE 0 END) AS e3
+        FROM spec GROUP BY doc_id
+    )
+    SELECT doc_id,
+           ROUND(e0 / (e0+e1+e2+e3), 6) AS b0,
+           ROUND(e1 / (e0+e1+e2+e3), 6) AS b1,
+           ROUND(e2 / (e0+e1+e2+e3), 6) AS b2,
+           ROUND(e3 / (e0+e1+e2+e3), 6) AS b3,
+           CAST(CASE WHEN e0 >= e1 AND e0 >= e2 AND e0 >= e3 THEN 0
+                     WHEN e1 >= e2 AND e1 >= e3 THEN 1
+                     WHEN e2 >= e3 THEN 2 ELSE 3 END AS INT) AS dominant_band
+    FROM bande
+    """,
+)
 def mm_audio_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio feature extraction: decode the PCM16 WAV column (stdlib
     codec), FFT each clip (numpy rfft), and emit normalized energy in four
     1 kHz bands plus the dominant band — the spectral-fingerprint stage of
     an audio training pipeline (language/music/noise routing), running as
     Arrow-batched mapInPandas over the binary column.
+
+    Exact oracle (r10, VERDICT item 4 — rows-only 6 -> 5): the WAV fixture
+    is analytic, so DuckDB regenerates the samples and evaluates the SAME
+    one-sided spectrum as a naive DFT with the bounded trig argument
+    2*pi*((k*i) % n)/n (wave-288's device — unreduced arguments hit libm
+    range-reduction divergence). Band membership is the exact integer test
+    k*rate vs edge*n in BOTH engines; the FFT-vs-naive-DFT float jitter is
+    ~1e-11 relative against the 6dp rounding grid — the same determinism
+    bar mm_audio_crest_flatness already ships with.
 
     Scale shape: per-row Python with NO shuffle — partitions stream
     through Arrow batches; FFT cost is O(n log n) per clip and embarrass-

@@ -247,17 +247,44 @@ def opt_critical_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     LS/LF from the project span, slack = LF − EF, critical ⇔ slack 0.
     The PERT column carries each task's three-point mean in exact
     sixths: o = d, m = d+2, p = d+6 gives te = (o+4m+p)/6 =
-    (6d+14)/6. Both passes are unrolled level-by-level (fixed depth 5),
-    exactly like graph_pagerank_unrolled's fixed-k contract.
+    (6d+14)/6.
 
     Determinism: durations, EF/LF chains, and slack are pure integer
     max/min arithmetic — no floats anywhere but the declared sixths
     numerator, which stays integer.
 
-    Scale shape: per-level join + max/min aggregates — 8 chained
-    stages in one Catalyst plan over a 25-row frame; at real project
-    scale each stage is an edges⋈frontier shuffle, linear in edges."""
-    dur = (
+    Scale shape (r10 rework, VERDICT r9 item 5): the DAG STRUCTURE is a
+    pure function of the task id (dependency formulas on literals), so
+    only the 25 durations are data-driven. The r9 per-level join
+    formulation referenced every level frame ~3x (next level, the EF
+    union, the backward pass) and the un-cached logical plan expanded
+    the whole chain per reference — 72 s of recompute for a 25-row
+    result; lazy caches made it WORSE (12 serial materialization
+    barriers). Now the duration vector is aggregated ONCE into a single
+    array row and both DP passes unroll into per-element literal
+    expressions over that row (the registry's plane-micro-dot idiom):
+    one supplier aggregate + one projection + one explode, ~3 stages
+    total. The oracle keeps the level-by-level join formulation, so the
+    hash still pins the recursive semantics; at real project scale
+    (structurally bounded DAGs) the same static-unroll applies with the
+    duration aggregate as the only data-sized stage."""
+    # task t (0..24), level t // 5; predecessors of t (level >= 1):
+    # p1 = 5*(lvl-1) + (7t+1) % 5, p2 = 5*(lvl-1) + (3t+2) % 5
+    preds = {
+        t: sorted(
+            {
+                5 * (t // 5 - 1) + (t * 7 + 1) % 5,
+                5 * (t // 5 - 1) + (t * 3 + 2) % 5,
+            }
+        )
+        for t in range(5, 25)
+    }
+    succs: dict[int, list[int]] = {t: [] for t in range(25)}
+    for t, ps in preds.items():
+        for p in ps:
+            succs[p].append(t)
+
+    dur_row = (
         table(spark, sf_dir, "nation")
         .select(F.col("n_nationkey").alias("task"))
         .join(
@@ -269,82 +296,69 @@ def opt_critical_path(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "task",
-            (F.col("task") / 5).cast("long").alias("lvl"),
             (1 + F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("d"),
         )
+        .agg(F.array_sort(F.collect_list(F.struct("task", "d"))).alias("td"))
     )
-    deps = dur.where(F.col("lvl") >= 1).select(
-        "task",
-        (5 * (F.col("lvl") - 1) + (F.col("task") * 7 + 1) % 5).alias("p1"),
-        (5 * (F.col("lvl") - 1) + (F.col("task") * 3 + 2) % 5).alias("p2"),
+
+    def d(t: int):  # duration of task t from the sorted struct array
+        return F.element_at(F.col("td"), t + 1)["d"]
+
+    # Materialize every DP value as a NAMED COLUMN, one select per level:
+    # downstream levels reference ef_t / lf_t as attribute leaves, so the
+    # expression trees stay shallow. (A pure expression-dict unroll
+    # duplicated subtrees multiplicatively — lf embeds span embeds all
+    # EF chains, referenced 4x per output struct — and the resulting
+    # million-node projection killed codegen.)
+    row = dur_row.select(
+        "td", *[d(t).alias(f"d_{t}") for t in range(25)]
     )
-    edges = (
-        deps.select(F.col("p1").alias("src"), F.col("task").alias("dst"))
-        .unionAll(
-            deps.select(F.col("p2").alias("src"), F.col("task").alias("dst"))
-        )
-        .distinct()
+    for lvl in range(5):
+        new = []
+        for t in range(5 * lvl, 5 * lvl + 5):
+            if lvl == 0:
+                new.append(F.col(f"d_{t}").alias(f"ef_{t}"))
+            else:
+                ps = preds[t]
+                chain = (
+                    F.col(f"ef_{ps[0]}")
+                    if len(ps) == 1
+                    else F.greatest(*[F.col(f"ef_{p}") for p in ps])
+                )
+                new.append((F.col(f"d_{t}") + chain).alias(f"ef_{t}"))
+        row = row.select("*", *new)
+    row = row.select(
+        "*", F.greatest(*[F.col(f"ef_{t}") for t in range(20, 25)]).alias("span")
     )
-    # forward pass
-    ef_by_lvl = [
-        dur.where(F.col("lvl") == 0).select(
-            "task", "lvl", "d", F.col("d").alias("ef")
-        )
-    ]
-    for lvl in range(1, 5):
-        prev = ef_by_lvl[-1].select(
-            F.col("task").alias("psrc"), F.col("ef").alias("pef")
-        )
-        e = edges.select(
-            F.col("src").alias(f"fsrc{lvl}"), F.col("dst").alias(f"fdst{lvl}")
-        )
-        cur = (
-            dur.where(F.col("lvl") == lvl)
-            .join(e, F.col("task") == F.col(f"fdst{lvl}"))
-            .join(F.broadcast(prev), F.col(f"fsrc{lvl}") == F.col("psrc"))
-            .groupBy("task", "lvl", "d")
-            .agg((F.max("pef") + F.max("d")).alias("ef"))
-            .select("task", "lvl", "d", "ef")
-        )
-        ef_by_lvl.append(cur)
-    ef = ef_by_lvl[0]
-    for frame in ef_by_lvl[1:]:
-        ef = ef.unionAll(frame)
-    span = ef.agg(F.max("ef").alias("t"))
-    # backward pass
-    lf_by_lvl = {
-        4: ef_by_lvl[4]
-        .crossJoin(F.broadcast(span))
-        .select("task", "lvl", "d", "ef", F.col("t").alias("lf"))
-    }
-    for lvl in range(3, -1, -1):
-        succ = lf_by_lvl[lvl + 1].select(
-            F.col("task").alias("sdst"),
-            (F.col("lf") - F.col("d")).alias("sls"),
-        )
-        e = edges.select(
-            F.col("src").alias(f"bsrc{lvl}"), F.col("dst").alias(f"bdst{lvl}")
-        )
-        cur = (
-            ef_by_lvl[lvl]
-            .join(e, F.col("task") == F.col(f"bsrc{lvl}"))
-            .join(F.broadcast(succ), F.col(f"bdst{lvl}") == F.col("sdst"))
-            .groupBy("task", "lvl", "d", "ef")
-            .agg(F.min("sls").alias("lf"))
-        )
-        lf_by_lvl[lvl] = cur
-    cpm = lf_by_lvl[0]
-    for lvl in range(1, 5):
-        cpm = cpm.unionAll(lf_by_lvl[lvl])
-    return cpm.select(
-        F.col("task").cast("long").alias("task"),
-        F.col("lvl").cast("long").alias("lvl"),
-        F.col("d").alias("duration"),
-        (F.col("ef") - F.col("d")).cast("long").alias("early_start"),
-        F.col("ef").cast("long").alias("early_finish"),
-        (F.col("lf") - F.col("d")).cast("long").alias("late_start"),
-        F.col("lf").cast("long").alias("late_finish"),
-        (F.col("lf") - F.col("ef")).cast("long").alias("slack"),
-        ((F.col("lf") - F.col("ef")) == 0).alias("critical"),
-        (6 * F.col("d") + 14).cast("long").alias("pert_te_sixths"),
-    ).orderBy("task")
+    for lvl in range(4, -1, -1):
+        new = []
+        for t in range(5 * lvl, 5 * lvl + 5):
+            if lvl == 4:
+                new.append(F.col("span").alias(f"lf_{t}"))
+            else:
+                terms = [F.col(f"lf_{s}") - F.col(f"d_{s}") for s in succs[t]]
+                lf_t = terms[0] if len(terms) == 1 else F.least(*terms)
+                new.append(lf_t.alias(f"lf_{t}"))
+        row = row.select("*", *new)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(t).cast("long").alias("task"),
+                F.lit(t // 5).cast("long").alias("lvl"),
+                F.col(f"d_{t}").alias("duration"),
+                (F.col(f"ef_{t}") - F.col(f"d_{t}")).cast("long").alias("early_start"),
+                F.col(f"ef_{t}").cast("long").alias("early_finish"),
+                (F.col(f"lf_{t}") - F.col(f"d_{t}")).cast("long").alias("late_start"),
+                F.col(f"lf_{t}").cast("long").alias("late_finish"),
+                (F.col(f"lf_{t}") - F.col(f"ef_{t}")).cast("long").alias("slack"),
+                ((F.col(f"lf_{t}") - F.col(f"ef_{t}")) == 0).alias("critical"),
+                (6 * F.col(f"d_{t}") + 14).cast("long").alias("pert_te_sixths"),
+            )
+            for t in range(25)
+        ]
+    )
+    return (
+        row.select(F.explode(rows).alias("r"))
+        .select("r.*")
+        .orderBy("task")
+    )
