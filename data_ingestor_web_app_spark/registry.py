@@ -480,6 +480,9 @@ _MODULES = [
     "data_ingestor_web_app_spark.llm.wave369",  # watermark detection / mauve frontier
     "data_ingestor_web_app_spark.operators.wave370",  # k-truss / chrF
     "data_ingestor_web_app_spark.operators.wave371",  # bass diffusion
+    # --- round-10 additions (behind the 50-slot window) ---
+    "data_ingestor_web_app_spark.operators.wave372",  # german tank / vargha-delaney
+    "data_ingestor_web_app_spark.operators.wave373",  # kadane / savitzky-golay
 ]
 
 
