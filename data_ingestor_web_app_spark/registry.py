@@ -483,6 +483,8 @@ _MODULES = [
     # --- round-10 additions (behind the 50-slot window) ---
     "data_ingestor_web_app_spark.operators.wave372",  # german tank / vargha-delaney
     "data_ingestor_web_app_spark.operators.wave373",  # kadane / savitzky-golay
+    "data_ingestor_web_app_spark.operators.wave374",  # ripley K / join counts
+    "data_ingestor_web_app_spark.operators.wave375",  # LB_Keogh / head-tail breaks
 ]
 
 
