@@ -485,6 +485,8 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave373",  # kadane / savitzky-golay
     "data_ingestor_web_app_spark.operators.wave374",  # ripley K / join counts
     "data_ingestor_web_app_spark.operators.wave375",  # LB_Keogh / head-tail breaks
+    "data_ingestor_web_app_spark.operators.wave376",  # cox-stuart / xbar-R chart
+    "data_ingestor_web_app_spark.operators.wave377",  # passing-bablok / group-sequential
 ]
 
 
