@@ -488,6 +488,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave376",  # cox-stuart / xbar-R chart
     "data_ingestor_web_app_spark.operators.wave377",  # passing-bablok / group-sequential
     "data_ingestor_web_app_spark.operators.wave378",  # ancova / g-chart
+    "data_ingestor_web_app_spark.llm.wave379",  # ASO / canary exposure
 ]
 
 
