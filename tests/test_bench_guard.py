@@ -54,6 +54,21 @@ MIN_REPS = 5
 DRIFT_CEILING = 2.5
 # "idle box" = loadavg_1m at bench start under this fraction of cpu count
 IDLE_LOAD_FRACTION = 0.2
+# A query listed in BENCH_ATTRIBUTIONS.json with verdict "environment"
+# (an interleaved A/B showing HEAD ~= a pinned past checkout on the same
+# box) is exempt from the relative band — but NEVER beyond this hard cap
+# vs its pin, so a stale attribution cannot mask a later real regression.
+ATTRIBUTION_CAP = 2.0
+
+
+def attributions() -> dict:
+    p = ROOT / "BENCH_ATTRIBUTIONS.json"
+    if not p.exists():
+        return {}
+    try:
+        return json.loads(p.read_text())
+    except json.JSONDecodeError:
+        return {}
 
 
 def check_bench(detail: dict, baseline: dict[str, float]) -> list[str]:
@@ -71,12 +86,17 @@ def check_bench(detail: dict, baseline: dict[str, float]) -> list[str]:
     drift = max(1.0, statistics.median(ratios.values()))
     band = REGRESSION_FACTOR * drift
     load = {k: detail.get(k) for k in ("load_start", "load_end") if detail.get(k)}
+    attr = attributions()
     violations = [
         f"{name}: {baseline[name]:.2f}s -> {latest[name]:.2f}s "
         f"({r:.2f}x vs {drift:.2f}x median drift; band {band:.2f}x) "
         f"bench-run box load: {json.dumps(load)}"
         for name, r in sorted(ratios.items(), key=lambda kv: -kv[1])
         if r > band
+        and not (
+            attr.get(name, {}).get("verdict") == "environment"
+            and r <= ATTRIBUTION_CAP * drift
+        )
     ]
     # absolute ceiling: uniform regression can't hide behind normalization
     # when the recorded load context excludes contention
@@ -190,6 +210,29 @@ def test_guard_allows_uniform_drift_under_load():
         la1=12.0,
     )
     assert check_bench(d, _BASE) == []
+
+
+def test_attributed_environment_query_within_cap_is_exempt(monkeypatch):
+    import tests.test_bench_guard as g
+
+    monkeypatch.setattr(
+        g, "attributions", lambda: {"q_slow": {"verdict": "environment"}}
+    )
+    # 1.6x its pin while peers hold — over the 1.5x band, under the 2x cap
+    d = _detail({"q_slow": 3.2, "q_mid": 1.0, "q_fast": 0.6, "q_tiny": 0.2})
+    assert check_bench(d, _BASE) == []
+
+
+def test_attributed_query_beyond_cap_still_fails(monkeypatch):
+    import tests.test_bench_guard as g
+
+    monkeypatch.setattr(
+        g, "attributions", lambda: {"q_slow": {"verdict": "environment"}}
+    )
+    # 3x its pin: a stale attribution must not mask a real regression
+    d = _detail({"q_slow": 6.0, "q_mid": 1.0, "q_fast": 0.6, "q_tiny": 0.2})
+    out = check_bench(d, _BASE)
+    assert len(out) == 1 and out[0].startswith("q_slow:")
 
 
 def test_artifact_qualification_rejects_short_rep_clobber(tmp_path, monkeypatch):
