@@ -489,6 +489,8 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave377",  # passing-bablok / group-sequential
     "data_ingestor_web_app_spark.operators.wave378",  # ancova / g-chart
     "data_ingestor_web_app_spark.llm.wave379",  # ASO / canary exposure
+    "data_ingestor_web_app_spark.operators.wave380",  # isotonic PAVA / seasonal decompose
+    "data_ingestor_web_app_spark.operators.wave381",  # ARCH LM / goldfeld-quandt
 ]
 
 
