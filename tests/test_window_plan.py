@@ -19,11 +19,11 @@ from __future__ import annotations
 import json
 from pathlib import Path
 
-from data_ingestor_web_app_spark.registry import QUERIES
+from data_ingestor_web_app_spark.registry import DRIVER_ROUND, QUERIES
 
 ROOT = Path(__file__).resolve().parent.parent
 
-CURRENT_ROUND = "r10"
+CURRENT_ROUND = DRIVER_ROUND
 
 
 def _plan() -> dict:
