@@ -80,14 +80,17 @@ def graph_ktruss_unrolled(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialization instead of re-deriving the co-occurrence self-join
     (the same reason the oracle marks ed{{r}} MATERIALIZED).
 
-    Cache lifecycle (ADVICE r9): the 4 per-round caches are lazy reuse
-    markers referenced by BOTH the round's count and the next round's
-    peel, so none is "superseded" inside the plan and an in-builder
-    unpersist would either trigger an eager action (forbidden by the
-    build-time lint) or cube the recompute (3 refs/round). Storage
-    cleanup is the DRIVER'S job: sweep tools call
-    spark.catalog.clearCache() between queries (tools/check_oracle.py),
-    keeping full-registry sweeps flat."""
+    Lineage (r11, VERDICT r10 item 3): each round references the prior
+    edge set FIVE times (3 triangle aliases + the support semi-join's
+    probe + the count), so a cache-only version grows the logical plan
+    ~5^rounds and Catalyst analysis dominates the wall (the same failure
+    mode graph_kcore_peel measured at >500 s un-truncated,
+    operators/wave124.py:195-207). Rounds therefore truncate with
+    localCheckpoint(eager=True) — the GraphX/Pregel superstep idiom; on a
+    cluster, reliable checkpoint() or a per-round table write gives the
+    same truncation with fault tolerance. Storage is reclaimed by the
+    sweep tools' spark.catalog.clearCache()/checkpoint GC between
+    queries."""
     buckets = (
         table(spark, sf_dir, "events")
         .select(
@@ -108,7 +111,7 @@ def graph_ktruss_unrolled(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("a.user_id").alias("u"), F.col("b.user_id").alias("v"))
         .distinct()
-        .cache()
+        .localCheckpoint(eager=True)
     )
     counts = [edges.agg(F.count("*").cast("long").alias("n_edges_0"))]
     ed = edges
@@ -126,7 +129,7 @@ def graph_ktruss_unrolled(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         ed = (
             ed.join(sup.where(F.col("s") >= 2), ["u", "v"], "left_semi")
-            .cache()
+            .localCheckpoint(eager=True)
         )
         counts.append(
             ed.agg(F.count("*").cast("long").alias(f"n_edges_{r + 1}"))

@@ -30,6 +30,10 @@ from data_ingestor_web_app_spark.io import table
 from data_ingestor_web_app_spark.registry import query
 from data_ingestor_web_app_spark.streaming import runtime
 
+# micro-batch count for the count-split replay behind stream_custom_state;
+# baked into BOTH the Spark replay author and the DuckDB oracle twin
+_CUSTOM_STATE_BATCHES = 4
+
 _TS_FMT = "yyyy-MM-dd HH:mm:ss"
 
 
@@ -359,17 +363,52 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return runtime.run_to_memory(joined, "append")
 
 
-@query("stream_custom_state")  # rows-only: per-batch emissions are replay-shaped
+@query(
+    "stream_custom_state",
+    # The batch state-evolution twin (VERDICT r10 item 6): the replay splits
+    # events into 4 equal-count chunks by global (ts, event_id) row order
+    # (runtime.write_replay_files_by_count — the closed form SQL can
+    # reproduce, unlike the ts-quantile split), one chunk per micro-batch.
+    # The update-mode memory sink then holds EXACTLY one row per
+    # (user, batch-the-user-appears-in): the cumulative count so far plus
+    # the user's batch-appearance ordinal (GroupState's seq increments only
+    # when the group has rows in the batch).
+    oracle=f"""
+    WITH n AS (SELECT COUNT(*) AS n FROM events),
+    b AS (
+        SELECT user_id,
+               CAST((ROW_NUMBER() OVER (ORDER BY ts, event_id) - 1)
+                    * {_CUSTOM_STATE_BATCHES} // n.n AS INT) AS batch
+        FROM events, n
+    ),
+    per AS (SELECT user_id, batch, COUNT(*) AS c FROM b GROUP BY user_id, batch)
+    SELECT user_id,
+           CAST(SUM(c) OVER (PARTITION BY user_id ORDER BY batch) AS BIGINT)
+               AS n_events_so_far,
+           CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY batch) AS INT)
+               AS batch_seq
+    FROM per
+    """,
+)
 def stream_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator via applyInPandasWithState: a per-user
     running counter held in explicit GroupState across micro-batches (the
     reference's ServerMetrics atomics, main.go:60-65, as user-keyed state).
     Emits (user_id, n_events_so_far, batch_seq) each time the user appears
-    in a batch — the update-mode counter feed. Tests assert the final
+    in a batch — the update-mode counter feed. Hash-exact against the batch
+    twin above, so the cross-batch state evolution (not just the final
+    counts) is oracle-verified; pytest additionally asserts the final
     emission per user equals the batch count."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    s = runtime.events_stream(spark, sf_dir).select("user_id", "event_id")
+    src = runtime.write_replay_files_by_count(spark, sf_dir, _CUSTOM_STATE_BATCHES)
+    schema = table(spark, sf_dir, "events").schema
+    s = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .select("user_id", "event_id")
+    )
 
     def update_counts(key, pdf_iter, state: GroupState):
         (user_id,) = key
@@ -387,7 +426,7 @@ def stream_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    return runtime.run_to_memory(counted, "update")
+    return runtime.run_to_memory(counted, "update", state_partitions=4)
 
 
 @query(

@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 from data_ingestor_web_app_spark.io import table
 
 _counter = itertools.count()
-_replay_cache: dict[tuple[str, int], str] = {}
+_replay_cache: dict[tuple, str] = {}
 
 # The reference reports metrics every 30 seconds (main.go:147); use this
 # trigger for continuous deployments.
@@ -75,6 +75,45 @@ def write_replay_files(spark: SparkSession, sf_dir: str, n_files: int) -> str:
             chunk = chunk.where(F.col("_ts_us") <= bounds[i + 1])
         path_dir = tempfile.mkdtemp(prefix=f"chunk{i}_")
         chunk.drop("_ts_us").coalesce(1).write.mode("overwrite").parquet(path_dir)
+        part = next(p for p in os.listdir(path_dir) if p.endswith(".parquet"))
+        dst = os.path.join(out, f"part-{i:04d}.parquet")
+        os.rename(os.path.join(path_dir, part), dst)
+        os.utime(dst, (now + i, now + i))
+    _replay_cache[key] = out
+    return out
+
+
+def write_replay_files_by_count(spark: SparkSession, sf_dir: str, n_files: int) -> str:
+    """Split events into ``n_files`` equal-count chunks by the global
+    (ts, event_id) row order: chunk(row) = ((rn - 1) * n_files) div N.
+
+    Unlike write_replay_files' ts-quantile cuts (whose Greenwald-Khanna
+    rank arithmetic a SQL oracle cannot reproduce bit-exactly), this closed
+    form IS expressible in ANSI SQL — which is what lets batch-dependent
+    streaming emissions (stream_custom_state's per-batch counter feed) carry
+    a hash-exact DuckDB twin. Replay-harness-only code: the global
+    row_number is a single-task funnel, acceptable for authoring KB-scale
+    test replays, never for a production path."""
+    key = (sf_dir, n_files, "count")
+    if key in _replay_cache:
+        return _replay_cache[key]
+    out = tempfile.mkdtemp(prefix="events_replay_count_")
+    from pyspark.sql.window import Window
+
+    e = table(spark, sf_dir, "events")
+    n = e.groupBy().count().withColumnRenamed("count", "_n")
+    rn = F.row_number().over(Window.orderBy("ts", "event_id"))
+    chunked = (
+        e.withColumn("_rn", rn)
+        .crossJoin(F.broadcast(n))
+        .withColumn("_chunk", F.expr(f"(( _rn - 1) * {n_files}) div _n"))
+    )
+    now = time.time()
+    for i in range(n_files):
+        path_dir = tempfile.mkdtemp(prefix=f"cchunk{i}_")
+        chunked.where(F.col("_chunk") == i).drop("_rn", "_n", "_chunk").coalesce(
+            1
+        ).write.mode("overwrite").parquet(path_dir)
         part = next(p for p in os.listdir(path_dir) if p.endswith(".parquet"))
         dst = os.path.join(out, f"part-{i:04d}.parquet")
         os.rename(os.path.join(path_dir, part), dst)

@@ -104,7 +104,12 @@ def stream_space_saving_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-chunk sorting breaks the order when a shard spans Arrow chunks)."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    s = runtime.events_stream(spark, sf_dir).select(
+    # r11 wall trim (VERDICT r10 item 3): 2 replay chunks instead of 4 —
+    # the final sketch is a pure function of the global (ts, event_id)
+    # processing order, which the ts-split chunks preserve at ANY batch
+    # count, so fewer micro-batches change nothing but the per-batch
+    # state-store commit overhead (cross-batch state is still exercised).
+    s = runtime.events_stream(spark, sf_dir, n_files=2).select(
         # modulo sharding (not xxhash64) so the shard key is cross-engine
         # deterministic and the DuckDB replay twin can reproduce it; a
         # production deployment would hash (any key-uniform map keeps the
@@ -173,7 +178,7 @@ def stream_space_saving_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    mem = runtime.run_to_memory(out, "update")
+    mem = runtime.run_to_memory(out, "update", state_partitions=4)
     # keep only each shard's FINAL sketch snapshot (max shard_events per
     # shard — n_seen strictly grows on every data-carrying batch, and
     # empty batches emit nothing); the update-mode memory sink keeps every

@@ -56,8 +56,15 @@ def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     condition caps both sides' retention); the extra cost of OUTER is
     only the per-row matched bit."""
     base = runtime.events_stream(spark, sf_dir)
-    # copy the memoized replay files and append two sentinel batches
-    src = runtime.write_replay_files(spark, sf_dir, 4)
+    # Copy the memoized replay files and append two sentinel batches.
+    # r11 (VERDICT r10 item 2): the replay uses TWO real-data chunks, not
+    # four — every extra micro-batch costs a state-store commit on every
+    # partition of BOTH join sides, and the null-emission semantics under
+    # test only need (real data) -> (watermark advance) -> (eviction
+    # batch). With the interval condition, match emission and null
+    # emission are batch-count-invariant: the final table is the full
+    # join result either way (hash-checked against the batch LEFT JOIN).
+    src = runtime.write_replay_files(spark, sf_dir, 2)
     out = tempfile.mkdtemp(prefix="replay_sentinel_")
     now = time.time()
     for i, f in enumerate(sorted(os.listdir(src))):
@@ -70,7 +77,7 @@ def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     # filters BELOW the watermark operator, so a row of any other type
     # never advances the watermark): one far-future purchase + click per
     # sentinel batch, user_id = -1, dropped after the join
-    for k in (1, 2, 3):
+    for k in (1, 2):
         sent = spark.createDataFrame(
             [
                 (-2 * k, max_ts, -1, "purchase", 0.0, None),
@@ -116,5 +123,5 @@ def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_user").alias("user_id"),
         F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("purchase_ts"),
     )
-    final = runtime.run_to_memory(result, "append")
+    final = runtime.run_to_memory(result, "append", state_partitions=4)
     return final.where(F.col("user_id") >= 0)  # drop sentinel rows
