@@ -25,6 +25,10 @@ from pyspark.sql import functions as F
 from data_ingestor_web_app_spark.io import table
 from data_ingestor_web_app_spark.registry import query
 
+import logging
+
+_LOG = logging.getLogger("data_ingestor_web_app_spark.wave31")
+
 
 @query(
     "source_xml_roundtrip",
@@ -165,8 +169,12 @@ def _events_input_bytes(spark: SparkSession, sf_dir: str) -> int:
     metadata call, no Spark job (ADVICE r9: the os.walk-only probe
     silently returned 0 on remote deployments, so the hot-key salted
     path never engaged and the plan shape became environment-dependent
-    with no signal). If every probe comes up empty we warn loudly
-    instead of silently staying on the direct plan."""
+    with no signal). A failed probe is logged at ERROR through the
+    project logger (ADVICE r10: warnings.warn is too easily filtered for
+    a signal that changes the executed plan shape), and 'path truly
+    absent' is distinguished from 'probe raised' — an FS error is NOT
+    evidence of an empty table, so it logs louder and names the
+    exception."""
     import os
 
     path = os.path.join(sf_dir, "events.parquet")
@@ -181,14 +189,22 @@ def _events_input_bytes(spark: SparkSession, sf_dir: str) -> int:
         jvm = spark._jvm
         hpath = jvm.org.apache.hadoop.fs.Path(path)
         fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.exists(hpath):
+            _LOG.warning(
+                "session-window escalation size probe: %s does not exist; "
+                "staying on the direct (unsalted) plan",
+                path,
+            )
+            return 0
         return int(fs.getContentSummary(hpath).getLength())
-    except Exception:  # noqa: BLE001 — probe failure must not kill the query
-        import warnings
-
-        warnings.warn(
-            f"session-window escalation size probe found nothing at {path}; "
-            "staying on the direct (unsalted) plan",
-            stacklevel=2,
+    except Exception as exc:  # noqa: BLE001 — probe failure must not kill the query
+        _LOG.error(
+            "session-window escalation size probe RAISED on %s (%s: %s) — "
+            "this is an FS error, not an empty table; staying on the direct "
+            "(unsalted) plan, which may be the wrong shape at scale",
+            path,
+            type(exc).__name__,
+            exc,
         )
         return 0
 

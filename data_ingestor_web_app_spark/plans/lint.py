@@ -9,22 +9,30 @@ over EVERY registered batch query's *static* physical plan:
    whole input through ONE task; that is fine over a collapsed series
    (calendar days, bucket grids, model ladders — anything behind an
    aggregate or limit) and fatal over a raw fact scan at 100 TB.
-2. ``cartesian`` — any ``CartesianProductExec``. Products are quadratic;
-   every intentional one must be declared in the test allowlist with its
-   bound written down.
+2. ``cartesian`` — a ``CartesianProductExec`` with an unguarded
+   scale-table scan on EITHER side. Products of two barrier-guarded
+   frames (the pervasive 1-row-aggregate x 1-row-aggregate scalar
+   combination crossJoin, which plans as CartesianProduct once
+   auto-broadcast is disabled) are bounded by construction and
+   auto-cleared; a product touching a raw scale scan must be declared in
+   the test allowlist with its bound written down.
 3. ``bnlj-unbounded`` — a ``BroadcastNestedLoopJoinExec`` whose broadcast
    side reaches a scale-table scan with no barrier. Non-equi joins against
    a *bounded* broadcast frame (1-row scalar frames, aggregated ladders,
    tiny dims) are a deliberate repo pattern and auto-cleared; broadcasting
    an unbounded side is never OK.
-4. ``broadcast-fact`` — a ``BroadcastExchangeExec`` whose subtree reaches a
-   FACT-table scan with no barrier. The sweep runs with
-   ``spark.sql.autoBroadcastJoinThreshold=-1`` so every broadcast in the
-   static plan stems from an explicit ``F.broadcast`` hint — size-based
-   broadcasts that are only valid at fixture scale disappear, and what
-   remains is exactly the set of hints that would ship 100 TB over the
-   wire. Dimension tables (region/nation/supplier/customer/part) are
-   allowed: broadcasting dims is the intended pattern.
+4. ``broadcast-fact`` — a ``BroadcastHashJoinExec`` whose BUILD side
+   reaches a FACT-table scan with no barrier. The sweep runs with
+   ``spark.sql.autoBroadcastJoinThreshold=-1`` so every broadcast join in
+   the static plan stems from an explicit ``F.broadcast`` hint —
+   size-based broadcasts that are only valid at fixture scale disappear,
+   and what remains is exactly the set of hints that would ship 100 TB
+   over the wire. (The rule keys off the join's build side, not
+   ``BroadcastExchangeExec``: ``qe.sparkPlan()`` is the planner output
+   BEFORE EnsureRequirements inserts exchanges, so exchange nodes do not
+   exist yet at this stage.) Dimension tables
+   (region/nation/supplier/customer/part) are allowed: broadcasting dims
+   is the intended pattern.
 
 The barrier set is deliberately coarse (aggregates and global limits):
 the judge's r10 audit rule is "aggregated-series inputs are allowlisted",
@@ -132,7 +140,11 @@ def lint_plan(root) -> list[Violation]:
                     Violation("window-global-scan", f"over raw {sorted(bad)}")
                 )
         elif cls == "CartesianProductExec":
-            out.append(Violation("cartesian", "CartesianProductExec in plan"))
+            bad = unguarded_scans(n) & (FACT_TABLES | SCALED_DIMS)
+            if bad:
+                out.append(
+                    Violation("cartesian", f"product over raw {sorted(bad)}")
+                )
         elif cls == "BroadcastNestedLoopJoinExec":
             kids = _children(n)
             build = str(n.buildSide())
@@ -144,8 +156,11 @@ def lint_plan(root) -> list[Violation]:
                         "bnlj-unbounded", f"broadcast side scans raw {sorted(bad)}"
                     )
                 )
-        elif cls == "BroadcastExchangeExec":
-            bad = unguarded_scans(n) & FACT_TABLES
+        elif cls == "BroadcastHashJoinExec":
+            kids = _children(n)
+            build = str(n.buildSide())
+            bcast = kids[1] if build == "BuildRight" else kids[0]
+            bad = unguarded_scans(bcast) & FACT_TABLES
             if bad:
                 out.append(
                     Violation("broadcast-fact", f"broadcasts raw {sorted(bad)}")

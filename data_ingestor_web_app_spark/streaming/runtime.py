@@ -17,6 +17,7 @@ from __future__ import annotations
 import itertools
 import os
 import tempfile
+import threading
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -26,6 +27,11 @@ from data_ingestor_web_app_spark.io import table
 
 _counter = itertools.count()
 _replay_cache: dict[tuple, str] = {}
+# run_to_memory scopes the session-global shuffle-partition conf for the
+# duration of a replay (see its docstring); this lock serializes those
+# scoped sections so two concurrent replays on one session can't observe
+# (or restore) each other's value.
+_conf_scope_lock = threading.Lock()
 
 # The reference reports metrics every 30 seconds (main.go:147); use this
 # trigger for continuous deployments.
@@ -152,26 +158,38 @@ def run_to_memory(
     size this UP with data (state is hash-partitioned on the join/agg
     key), exactly like sizing shuffle partitions — the knob is explicit
     here for that reason.
+
+    CONCURRENCY (ADVICE r10): the scoped conf is session-global state —
+    Spark has no per-writeStream shuffle-partition option — so the
+    set/restore section is serialized under a module lock. Concurrent
+    ``run_to_memory`` calls on one session are therefore safe but
+    SEQUENTIAL, and a *batch* query launched from another thread during a
+    replay still observes the scoped-down value (harmless for results,
+    only partition count). The finally-restore runs even if start() or
+    the replay raises; a hard process kill inside the window can leak the
+    scoped value into the session, which is why tests create streams
+    through this helper only.
     """
     spark = sdf.sparkSession
     name = f"mem_{next(_counter)}_{os.getpid()}"
     ckpt = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
-    old = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set(
-        "spark.sql.shuffle.partitions", str(min(int(old), state_partitions))
-    )
-    try:
-        q = (
-            sdf.writeStream.format("memory")
-            .queryName(name)
-            .outputMode(mode)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
+    with _conf_scope_lock:
+        old = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", str(min(int(old), state_partitions))
         )
-        q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old)
+        try:
+            q = (
+                sdf.writeStream.format("memory")
+                .queryName(name)
+                .outputMode(mode)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
     if progress is not None:
         progress.extend(q.recentProgress)
     return spark.table(name)

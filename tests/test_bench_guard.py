@@ -59,6 +59,26 @@ IDLE_LOAD_FRACTION = 0.2
 # box) is exempt from the relative band — but NEVER beyond this hard cap
 # vs its pin, so a stale attribution cannot mask a later real regression.
 ATTRIBUTION_CAP = 2.0
+# Attribution expiry (r11, ADVICE r10): an "environment" verdict is evidence
+# about ONE box state. Each entry must carry the round its A/B ran in; it
+# exempts for that round plus the next (the grace round covers the
+# round-boundary where DRIVER_ROUND has been bumped but the box state is
+# unchanged), after which the entry is stale: it no longer exempts, and
+# test_no_stale_attributions fails until the A/B is re-run (refreshing the
+# round stamp) or the entry is deleted — the same stale-allow discipline as
+# the eager lint's ALLOWED list.
+ATTRIBUTION_GRACE_ROUNDS = 1
+
+
+def _current_round() -> int:
+    from data_ingestor_web_app_spark.registry import DRIVER_ROUND
+
+    return int(DRIVER_ROUND.lstrip("r"))
+
+
+def _attribution_live(entry: dict, current_round: int | None = None) -> bool:
+    cur = _current_round() if current_round is None else current_round
+    return entry.get("round", -(10**9)) >= cur - ATTRIBUTION_GRACE_ROUNDS
 
 
 def attributions() -> dict:
@@ -95,6 +115,7 @@ def check_bench(detail: dict, baseline: dict[str, float]) -> list[str]:
         if r > band
         and not (
             attr.get(name, {}).get("verdict") == "environment"
+            and _attribution_live(attr.get(name, {}))
             and r <= ATTRIBUTION_CAP * drift
         )
     ]
@@ -139,19 +160,67 @@ def qualifying_artifact() -> tuple[dict, str] | None:
     return None
 
 
+def _low_rep_working_tree_note(baseline: dict[str, float]) -> str:
+    """When the guard falls back past a sub-MIN_REPS working-tree artifact,
+    still LOOK at that fresh run (ADVICE r10): a low-rep run is not
+    *evidence* of a regression, but a visible one in it must not be
+    invisible. Returns a short report of its worst ratios (or '')."""
+    latest_p = ROOT / "BENCH_LATEST.json"
+    if not latest_p.exists():
+        return ""
+    try:
+        detail = json.loads(latest_p.read_text())
+    except json.JSONDecodeError:
+        return ""
+    if detail.get("n_reps", 0) >= MIN_REPS or "min" not in detail:
+        return ""
+    fresh = check_bench(detail, baseline)
+    if not fresh:
+        return ""
+    return (
+        f"\nNOTE: the DISCARDED {detail.get('n_reps')}-rep working-tree "
+        f"BENCH_LATEST.json would flag:\n  " + "\n  ".join(fresh)
+        + f"\nre-bench with SPARK_GRAFT_BENCH_REPS={MIN_REPS} to confirm or clear."
+    )
+
+
 def test_no_per_query_bench_regression():
     picked = qualifying_artifact()
+    baseline = json.loads((ROOT / "BENCH_BASELINE.json").read_text())["queries"]
     if picked is None:
         pytest.skip(
             f"no bench artifact with n_reps >= {MIN_REPS} (working tree or "
             f"HEAD) — re-run: SPARK_GRAFT_BENCH_REPS={MIN_REPS} python bench.py"
+            + _low_rep_working_tree_note(baseline)
         )
     detail, source = picked
-    baseline = json.loads((ROOT / "BENCH_BASELINE.json").read_text())["queries"]
     violations = check_bench(detail, baseline)
+    note = "" if source.startswith("working-tree") else _low_rep_working_tree_note(baseline)
+    if note:
+        import warnings
+
+        warnings.warn(note, stacklevel=1)
     assert not violations, (
         f"bench regressions vs BENCH_BASELINE.json (artifact: {source}):\n"
         + "\n".join(violations)
+        + note
+    )
+
+
+def test_no_stale_attributions():
+    """Every BENCH_ATTRIBUTIONS.json entry must be round-stamped and still
+    within its grace window — the stale-allow discipline of the eager lint
+    applied to bench exemptions (ADVICE r10)."""
+    cur = _current_round()
+    stale = {
+        name: entry.get("round")
+        for name, entry in attributions().items()
+        if not _attribution_live(entry, cur)
+    }
+    assert not stale, (
+        f"stale bench attributions (current round r{cur}, grace "
+        f"{ATTRIBUTION_GRACE_ROUNDS}): {stale} — re-run tools/ab_bench.py and "
+        "refresh the round stamp, or delete the entry"
     )
 
 
@@ -216,7 +285,9 @@ def test_attributed_environment_query_within_cap_is_exempt(monkeypatch):
     import tests.test_bench_guard as g
 
     monkeypatch.setattr(
-        g, "attributions", lambda: {"q_slow": {"verdict": "environment"}}
+        g,
+        "attributions",
+        lambda: {"q_slow": {"verdict": "environment", "round": _current_round()}},
     )
     # 1.6x its pin while peers hold — over the 1.5x band, under the 2x cap
     d = _detail({"q_slow": 3.2, "q_mid": 1.0, "q_fast": 0.6, "q_tiny": 0.2})
@@ -227,10 +298,41 @@ def test_attributed_query_beyond_cap_still_fails(monkeypatch):
     import tests.test_bench_guard as g
 
     monkeypatch.setattr(
+        g,
+        "attributions",
+        lambda: {"q_slow": {"verdict": "environment", "round": _current_round()}},
+    )
+    # 3x its pin: even a live attribution must not mask a real regression
+    d = _detail({"q_slow": 6.0, "q_mid": 1.0, "q_fast": 0.6, "q_tiny": 0.2})
+    out = check_bench(d, _BASE)
+    assert len(out) == 1 and out[0].startswith("q_slow:")
+
+
+def test_expired_attribution_no_longer_exempts(monkeypatch):
+    """An attribution older than the grace window loses its exemption: the
+    same 1.6x-vs-pin move that a live entry clears must flag again
+    (ADVICE r10: environment verdicts must not mask regressions forever)."""
+    import tests.test_bench_guard as g
+
+    old_round = _current_round() - ATTRIBUTION_GRACE_ROUNDS - 1
+    monkeypatch.setattr(
+        g,
+        "attributions",
+        lambda: {"q_slow": {"verdict": "environment", "round": old_round}},
+    )
+    d = _detail({"q_slow": 3.2, "q_mid": 1.0, "q_fast": 0.6, "q_tiny": 0.2})
+    out = check_bench(d, _BASE)
+    assert len(out) == 1 and out[0].startswith("q_slow:")
+
+
+def test_unstamped_attribution_treated_as_stale(monkeypatch):
+    # a legacy entry with no round stamp must never exempt
+    import tests.test_bench_guard as g
+
+    monkeypatch.setattr(
         g, "attributions", lambda: {"q_slow": {"verdict": "environment"}}
     )
-    # 3x its pin: a stale attribution must not mask a real regression
-    d = _detail({"q_slow": 6.0, "q_mid": 1.0, "q_fast": 0.6, "q_tiny": 0.2})
+    d = _detail({"q_slow": 3.2, "q_mid": 1.0, "q_fast": 0.6, "q_tiny": 0.2})
     out = check_bench(d, _BASE)
     assert len(out) == 1 and out[0].startswith("q_slow:")
 

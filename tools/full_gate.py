@@ -31,6 +31,15 @@ def main() -> None:
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     args = ap.parse_args()
 
+    # Resolve the artifact's sf value BEFORE the ~20-minute sweep (ADVICE
+    # r10: parsing it at artifact-write time meant a nonstandard --sf path
+    # raised ValueError after the run and lost every result). Paths without
+    # a trailing sf<scale> segment fall back to the raw string.
+    try:
+        sf_value: float | str = float(args.sf.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf_value = args.sf
+
     import __spark_entry__ as entry_mod
 
     queries = entry_mod.queries()
@@ -91,7 +100,7 @@ def main() -> None:
 
     artifact = {
         "summary": {
-            "sf": float(args.sf.rstrip("/").rsplit("sf", 1)[-1]),
+            "sf": sf_value,
             "tool": f"tools/full_gate.py (full registry run, r{args.round})",
             "n_queries": len(queries),
             "n_exact": n_exact,
