@@ -8,6 +8,9 @@ points at a partitioned directory tree and nothing else changes.
 
 from __future__ import annotations
 
+import os
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -23,6 +26,21 @@ TABLES = [
     "documents",
     "embeddings",
 ]
+
+
+def scratch_dir(prefix: str = "scratch_") -> str:
+    """A fresh local scratch directory for harness artifacts (replay
+    chunks, sentinel files, checkpoints, sink targets).
+
+    Honors ``SPARK_GRAFT_SCRATCH`` (created on demand) so the replay
+    harnesses keep working when ``sf_dir`` is NOT a writable local path —
+    e.g. fixtures served from a read-only mount or an object store
+    (VERDICT r10 item 7). Defaults to the system temp dir. All harness
+    temp dirs flow through here; nothing is ever written under sf_dir."""
+    root = os.environ.get("SPARK_GRAFT_SCRATCH")
+    if root:
+        os.makedirs(root, exist_ok=True)
+    return tempfile.mkdtemp(prefix=prefix, dir=root or None)
 
 
 def ensure_session_confs(spark: SparkSession) -> None:

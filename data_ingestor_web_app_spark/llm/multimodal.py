@@ -22,7 +22,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from data_ingestor_web_app_spark.io import table
+from data_ingestor_web_app_spark.io import scratch_dir, table
 from data_ingestor_web_app_spark.registry import query
 
 _MM_CAP = 200  # payload-synthesis cap: decode cost is per-byte, keep gate fast
@@ -251,7 +251,7 @@ def mm_binaryfile_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     d = table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
-    out = tempfile.mkdtemp(prefix="mm_files_")
+    out = scratch_dir("mm_files_")
 
     # one file per payload, named by doc_id (test-scale materialization;
     # rows stay executor-side via foreachPartition)

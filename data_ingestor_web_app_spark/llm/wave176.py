@@ -10,7 +10,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from data_ingestor_web_app_spark.io import table
+from data_ingestor_web_app_spark.io import scratch_dir, table
 from data_ingestor_web_app_spark.registry import query
 
 # candidate (bands, rows) configs for a 64-hash signature
@@ -180,7 +180,7 @@ def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: mergeSchema reads footers, not data, to reconcile
     schemas; per-file projection stays pushdown-friendly."""
-    out = tempfile.mkdtemp(prefix="schema_evo_")
+    out = scratch_dir("schema_evo_")
     n = table(spark, sf_dir, "nation")
     v1 = n.where(F.col("n_nationkey") % 2 == 1).select("n_nationkey", "n_name")
     v2 = n.where(F.col("n_nationkey") % 2 == 0).select(

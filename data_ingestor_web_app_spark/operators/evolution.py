@@ -15,7 +15,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from data_ingestor_web_app_spark.io import table
+from data_ingestor_web_app_spark.io import scratch_dir, table
 from data_ingestor_web_app_spark.registry import query
 
 
@@ -50,7 +50,7 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     every footer). Data-page reads are unchanged; missing columns
     materialize as null vectors, costing nothing."""
     o = table(spark, sf_dir, "orders")
-    out = os.path.join(tempfile.mkdtemp(prefix="schema_evo_"), "orders")
+    out = os.path.join(scratch_dir("schema_evo_"), "orders")
     v1 = o.where(F.col("o_orderkey") % 2 == 0).select("o_orderkey", "o_totalprice")
     v2 = o.where(F.col("o_orderkey") % 2 == 1).select(
         "o_orderkey", "o_totalprice", "o_orderpriority"

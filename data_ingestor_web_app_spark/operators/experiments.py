@@ -14,7 +14,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from data_ingestor_web_app_spark.io import table
+from data_ingestor_web_app_spark.io import scratch_dir, table
 from data_ingestor_web_app_spark.registry import query
 
 
@@ -110,6 +110,6 @@ def source_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     frames) or files pre-sharded — same rule the reference's logrotate
     sharding follows (reference/configs/logrotate.conf:1-12)."""
     d = table(spark, sf_dir, "documents")
-    out = os.path.join(tempfile.mkdtemp(prefix="text_lines_"), "docs")
+    out = os.path.join(scratch_dir("text_lines_"), "docs")
     d.select("text").coalesce(4).write.mode("overwrite").text(out)
     return spark.read.text(out)

@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from data_ingestor_web_app_spark.io import register_views, table
+from data_ingestor_web_app_spark.io import register_views, scratch_dir, table
 from data_ingestor_web_app_spark.registry import query
 
 
@@ -330,7 +330,7 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     Result is hash-identical to the plain shuffle join (oracle)."""
     import tempfile
 
-    warehouse = tempfile.mkdtemp(prefix="bucketed_wh_")
+    warehouse = scratch_dir("bucketed_wh_")
     spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
     spark.sql("CREATE DATABASE IF NOT EXISTS bucketdemo")
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")

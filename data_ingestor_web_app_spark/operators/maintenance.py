@@ -19,7 +19,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from data_ingestor_web_app_spark.io import table
+from data_ingestor_web_app_spark.io import scratch_dir, table
 from data_ingestor_web_app_spark.registry import query
 
 _FRAGMENTS = 64
@@ -54,7 +54,7 @@ def maintenance_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFra
     (here pinned to 4 for a deterministic oracle) and compaction runs
     per-partition-directory, embarrassingly parallel across partitions."""
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
-    root = tempfile.mkdtemp(prefix="compact_")
+    root = scratch_dir("compact_")
     frag_path = os.path.join(root, "fragmented")
     li.repartition(_FRAGMENTS).write.mode("overwrite").parquet(frag_path)
 
@@ -106,7 +106,7 @@ def maintenance_cluster_by_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle + local sort — the one-off cost that every later time-window
     query amortizes."""
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
-    root = tempfile.mkdtemp(prefix="cluster_")
+    root = scratch_dir("cluster_")
     clus_path = os.path.join(root, "clustered")
     (
         o.repartitionByRange(8, "o_orderdate")

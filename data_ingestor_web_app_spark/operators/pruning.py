@@ -34,7 +34,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from data_ingestor_web_app_spark.io import table
+from data_ingestor_web_app_spark.io import scratch_dir, table
 from data_ingestor_web_app_spark.registry import query
 
 
@@ -67,7 +67,7 @@ def join_dpp_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders").withColumn(
         "o_month", F.date_format("o_orderdate", "yyyy-MM")
     )
-    root = os.path.join(tempfile.mkdtemp(prefix="dpp_"), "orders_by_month")
+    root = os.path.join(scratch_dir("dpp_"), "orders_by_month")
     o.select("o_orderkey", "o_totalprice", "o_month").write.partitionBy(
         "o_month"
     ).mode("overwrite").parquet(root)

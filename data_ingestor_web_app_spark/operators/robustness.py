@@ -14,7 +14,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from data_ingestor_web_app_spark.io import table
+from data_ingestor_web_app_spark.io import scratch_dir, table
 from data_ingestor_web_app_spark.registry import query
 
 
@@ -42,7 +42,7 @@ def scan_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
     audit) rather than a crash, which is the difference between a 100 TB
     backfill finishing or dying at hour nine."""
     d = table(spark, sf_dir, "documents").select("doc_id", "lang")
-    out = os.path.join(tempfile.mkdtemp(prefix="csv_mal_"), "feed.csv")
+    out = os.path.join(scratch_dir("csv_mal_"), "feed.csv")
     # doc_id % 10 == 0 rows are written with a missing field + stray quote
     lines = d.select(
         F.when(

@@ -16,7 +16,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from data_ingestor_web_app_spark.io import table
+from data_ingestor_web_app_spark.io import scratch_dir, table
 from data_ingestor_web_app_spark.registry import query
 
 
@@ -68,7 +68,7 @@ def sink_json_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     check certifies write+read losslessness, not just row counts.
     """
     docs = table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
-    out = os.path.join(tempfile.mkdtemp(prefix="sink_json_"), "docs")
+    out = os.path.join(scratch_dir("sink_json_"), "docs")
     docs.write.mode("overwrite").json(out)
     back = spark.read.json(out)
     return back.select(
@@ -95,7 +95,7 @@ def sink_partitioned_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("o_orderdate", "yyyy-MM").alias("d"),
         F.concat_ws("|", F.col("o_orderkey"), F.col("o_orderstatus")).alias("value"),
     )
-    out = os.path.join(tempfile.mkdtemp(prefix="sink_text_"), "orders")
+    out = os.path.join(scratch_dir("sink_text_"), "orders")
     lines.write.mode("overwrite").partitionBy("d").text(out)
     back = spark.read.format("text").load(out)  # partition col `d` recovered from dir layout
     return back.select(
@@ -150,7 +150,7 @@ def retention_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     touches row data."""
     e = table(spark, sf_dir, "events")
     days = e.select(F.date_format("ts", "yyyy-MM-dd").alias("dt"), "event_id")
-    out = os.path.join(tempfile.mkdtemp(prefix="retention_"), "events")
+    out = os.path.join(scratch_dir("retention_"), "events")
     days.write.mode("overwrite").partitionBy("dt").parquet(out)
 
     import datetime
@@ -227,7 +227,7 @@ def retention_compress_aged(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = table(spark, sf_dir, "events")
     days = e.select(F.date_format("ts", "yyyy-MM-dd").alias("dt"), "event_id", "props")
-    out = os.path.join(tempfile.mkdtemp(prefix="retention_zstd_"), "events")
+    out = os.path.join(scratch_dir("retention_zstd_"), "events")
     days.write.mode("overwrite").option("compression", "snappy").partitionBy("dt").parquet(out)
 
     max_dt = days.agg(F.max("dt")).first()[0]  # one scalar to the driver
@@ -254,7 +254,7 @@ def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-match the parquet original. Doubles survive via round-trip text
     repr (Spark writes shortest-repr, reads back bit-identical)."""
     c = table(spark, sf_dir, "customer")
-    out = os.path.join(tempfile.mkdtemp(prefix="src_csv_"), "customer")
+    out = os.path.join(scratch_dir("src_csv_"), "customer")
     c.write.mode("overwrite").option("header", True).csv(out)
     back = (
         spark.read.schema("c_custkey long, c_name string, c_nationkey int, c_acctbal double, c_mktsegment string")
@@ -275,7 +275,7 @@ def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORC source/sink round-trip (the other columnar format Spark ships
     natively) — same pushdown/pruning machinery as parquet."""
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
-    out = os.path.join(tempfile.mkdtemp(prefix="src_orc_"), "orders")
+    out = os.path.join(scratch_dir("src_orc_"), "orders")
     o.write.mode("overwrite").orc(out)
     return spark.read.orc(out)
 
@@ -297,7 +297,7 @@ def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB an explicit schema on read is mandatory: schema inference is
     a full extra pass over every byte before the real job starts."""
     e = table(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "value")
-    out = os.path.join(tempfile.mkdtemp(prefix="src_json_"), "events")
+    out = os.path.join(scratch_dir("src_json_"), "events")
     e.write.mode("overwrite").json(out)
     return spark.read.schema(
         "event_id long, user_id long, event_type string, value double"

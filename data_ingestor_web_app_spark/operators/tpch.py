@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from data_ingestor_web_app_spark.io import table
+from data_ingestor_web_app_spark.io import scratch_dir, table
 from data_ingestor_web_app_spark.registry import query
 
 
@@ -217,7 +217,7 @@ def sink_parquet_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice", "o_orderstatus")
-    out = tempfile.mkdtemp(prefix="sink_parquet_") + "/orders"
+    out = scratch_dir("sink_parquet_") + "/orders"
     o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
     back = spark.read.parquet(out).where(F.col("o_orderstatus") == "F")
     return back.select(

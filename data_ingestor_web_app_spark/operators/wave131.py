@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from data_ingestor_web_app_spark.io import table
+from data_ingestor_web_app_spark.io import scratch_dir, table
 from data_ingestor_web_app_spark.registry import query
 
 
@@ -43,7 +43,7 @@ def source_hive_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.year("o_orderdate").alias("y"),
         F.month("o_orderdate").alias("m"),
     )
-    out = os.path.join(tempfile.mkdtemp(prefix="hive_part_"), "orders")
+    out = os.path.join(scratch_dir("hive_part_"), "orders")
     o.write.mode("overwrite").partitionBy("y", "m").parquet(out)
     back = spark.read.parquet(out)
     return back.where(F.col("y") == 1995).select(

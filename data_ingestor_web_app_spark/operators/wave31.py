@@ -22,7 +22,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from data_ingestor_web_app_spark.io import table
+from data_ingestor_web_app_spark.io import scratch_dir, table
 from data_ingestor_web_app_spark.registry import query
 
 import logging
@@ -47,7 +47,7 @@ def source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps the scan single-pass. Row-level formats remain the interchange
     edge of the pipeline — columnar parquet stays the processing format."""
     n = table(spark, sf_dir, "nation")
-    out = os.path.join(tempfile.mkdtemp(prefix="src_xml_"), "nation")
+    out = os.path.join(scratch_dir("src_xml_"), "nation")
     n.write.format("xml").option("rootTag", "nations").option("rowTag", "nation").mode(
         "overwrite"
     ).save(out)
@@ -315,7 +315,7 @@ def maintenance_vacuum_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_totalprice", F.pmod("o_orderkey", F.lit(8)).alias("bucket")
     )
-    root = os.path.join(tempfile.mkdtemp(prefix="vacuum_"), "orders")
+    root = os.path.join(scratch_dir("vacuum_"), "orders")
     o.write.mode("overwrite").partitionBy("bucket").parquet(root)
     manifest = {0, 2, 3, 5, 7}
 

@@ -18,7 +18,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from data_ingestor_web_app_spark.io import table
+from data_ingestor_web_app_spark.io import scratch_dir, table
 from data_ingestor_web_app_spark.registry import query
 
 
@@ -256,7 +256,7 @@ def scan_nested_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_nationkey").alias("nation"),
         ).alias("profile"),
     )
-    out = os.path.join(tempfile.mkdtemp(prefix="nested_"), "customer")
+    out = os.path.join(scratch_dir("nested_"), "customer")
     nested.write.mode("overwrite").parquet(out)
     back = spark.read.parquet(out)
     return back.where(F.col("profile.nation") < 10).select(

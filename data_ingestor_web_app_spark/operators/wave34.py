@@ -16,7 +16,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from data_ingestor_web_app_spark.io import table
+from data_ingestor_web_app_spark.io import scratch_dir, table
 from data_ingestor_web_app_spark.registry import query
 
 
@@ -246,7 +246,7 @@ def pipeline_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents").select(
         "doc_id", "n_chars", F.pmod("doc_id", F.lit(8)).alias("shard")
     )
-    out = os.path.join(tempfile.mkdtemp(prefix="shard_export_"), "docs")
+    out = os.path.join(scratch_dir("shard_export_"), "docs")
     d.write.mode("overwrite").partitionBy("shard").parquet(out)
     back = spark.read.parquet(out)
     return back.groupBy(F.col("shard").cast("long").alias("shard")).agg(

@@ -15,7 +15,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from data_ingestor_web_app_spark.io import table
+from data_ingestor_web_app_spark.io import scratch_dir, table
 from data_ingestor_web_app_spark.registry import query
 
 
@@ -63,7 +63,7 @@ def dq_quarantine_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("ok")
     )
     classified = e.select("event_id", verdict.alias("verdict"))
-    root = tempfile.mkdtemp(prefix="quarantine_")
+    root = scratch_dir("quarantine_")
     good_dir = os.path.join(root, "good")
     quarantine_dir = os.path.join(root, "quarantine")
     classified.where(F.col("verdict") == "ok").write.mode("overwrite").parquet(good_dir)

@@ -17,7 +17,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from data_ingestor_web_app_spark.io import table
+from data_ingestor_web_app_spark.io import scratch_dir, table
 from data_ingestor_web_app_spark.registry import query
 
 
@@ -49,7 +49,7 @@ def stream_incremental_etl(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_orderstatus", "o_totalprice",
         F.col("o_orderdate").cast("timestamp").alias("o_orderdate"),
     )
-    root = tempfile.mkdtemp(prefix="inc_etl_")
+    root = scratch_dir("inc_etl_")
     feed = os.path.join(root, "feed")
     sink = os.path.join(root, "sink")
     ckpt = os.path.join(root, "ckpt")

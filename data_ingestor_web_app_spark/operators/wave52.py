@@ -11,7 +11,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from data_ingestor_web_app_spark.io import table
+from data_ingestor_web_app_spark.io import scratch_dir, table
 from data_ingestor_web_app_spark.operators.wave30 import _distributed_prefix_sum
 from data_ingestor_web_app_spark.registry import query
 
@@ -126,7 +126,7 @@ def maintenance_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) ->
     o = table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
-    out = os.path.join(tempfile.mkdtemp(prefix="dyn_overwrite_"), "orders")
+    out = os.path.join(scratch_dir("dyn_overwrite_"), "orders")
     o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
     corrected = o.where(F.col("o_orderstatus") == "P").select(
         "o_orderkey",

@@ -10,7 +10,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from data_ingestor_web_app_spark.io import table
+from data_ingestor_web_app_spark.io import scratch_dir, table
 from data_ingestor_web_app_spark.registry import query
 
 
@@ -40,7 +40,7 @@ def maintenance_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: pure metadata — two footer reads, a tiny full-outer join
     on column name; zero row data touched."""
     o = table(spark, sf_dir, "orders")
-    root = tempfile.mkdtemp(prefix="schema_drift_")
+    root = scratch_dir("schema_drift_")
     v1_dir = os.path.join(root, "v1")
     v2_dir = os.path.join(root, "v2")
     o.limit(10).write.mode("overwrite").parquet(v1_dir)

@@ -15,7 +15,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from data_ingestor_web_app_spark.io import table
+from data_ingestor_web_app_spark.io import scratch_dir, table
 from data_ingestor_web_app_spark.registry import query
 
 
@@ -50,7 +50,7 @@ def maintenance_zone_map_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_extendedprice", "l_shipdate"
     )
-    out = os.path.join(tempfile.mkdtemp(prefix="zone_map_"), "lineitem")
+    out = os.path.join(scratch_dir("zone_map_"), "lineitem")
     (
         li.withColumn("yr", F.year("l_shipdate"))
         .repartition("yr")

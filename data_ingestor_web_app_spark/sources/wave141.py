@@ -9,7 +9,7 @@ import itertools
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from data_ingestor_web_app_spark.io import table
+from data_ingestor_web_app_spark.io import scratch_dir, table
 from data_ingestor_web_app_spark.registry import query
 
 _counter = itertools.count()
@@ -159,7 +159,7 @@ def stream_rate_source_smoke(spark: SparkSession, sf_dir: str) -> DataFrame:
         raw.writeStream.format("memory")
         .queryName(name)
         .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="rate_ckpt_"))
+        .option("checkpointLocation", scratch_dir("rate_ckpt_"))
         .start()
     )
     deadline = time.time() + 60

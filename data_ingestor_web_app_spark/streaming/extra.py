@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from data_ingestor_web_app_spark.io import table
+from data_ingestor_web_app_spark.io import scratch_dir, table
 from data_ingestor_web_app_spark.registry import query
 from data_ingestor_web_app_spark.streaming import runtime
 
@@ -112,7 +112,7 @@ def stream_incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFr
         .select("doc_id", "text")
         .repartition(spark.sparkContext.defaultParallelism)
     )
-    root = tempfile.mkdtemp(prefix="stream_lsh_")
+    root = scratch_dir("stream_lsh_")
     feed_dir = os.path.join(root, "feed")
     index_dir = os.path.join(root, "index")
     toks_dir = os.path.join(root, "toks")

@@ -26,7 +26,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from data_ingestor_web_app_spark.io import table
+from data_ingestor_web_app_spark.io import scratch_dir, table
 from data_ingestor_web_app_spark.registry import query
 from data_ingestor_web_app_spark.streaming import runtime
 
@@ -163,13 +163,13 @@ def _watermark_late_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("{}").alias("props"),
         )
 
-    src = tempfile.mkdtemp(prefix="late_replay_")
+    src = scratch_dir("late_replay_")
     import time as _t
 
     now = _t.time()
     parts = [early, sentinel("2024-06-01 00:00:00"), sentinel("2024-06-02 00:00:00"), late]
     for i, part in enumerate(parts):
-        d = tempfile.mkdtemp(prefix=f"late{i}_")
+        d = scratch_dir(f"late{i}_")
         part.coalesce(1).write.mode("overwrite").parquet(d)
         f = next(p for p in os.listdir(d) if p.endswith(".parquet"))
         dst = os.path.join(src, f"part-{i:04d}.parquet")
@@ -308,8 +308,8 @@ def stream_fanout_sinks(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-batch is written to a JSON-lines dir (R11) AND a date-partitioned
     text dir (R14); the JSON read-back is returned."""
     s = runtime.events_stream(spark, sf_dir)
-    json_dir = tempfile.mkdtemp(prefix="fan_json_")
-    text_dir = tempfile.mkdtemp(prefix="fan_text_")
+    json_dir = scratch_dir("fan_json_")
+    text_dir = scratch_dir("fan_text_")
 
     def fan_out(batch_df: DataFrame, batch_id: int) -> None:
         records = batch_df.select(
@@ -327,7 +327,7 @@ def stream_fanout_sinks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     q = (
         s.writeStream.foreachBatch(fan_out)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_fan_"))
+        .option("checkpointLocation", scratch_dir("ckpt_fan_"))
         .trigger(availableNow=True)
         .start()
     )
@@ -594,8 +594,8 @@ def stream_sink_parquet_exactly_once(spark: SparkSession, sf_dir: str) -> DataFr
     nothing (no new offsets). We run it twice to prove idempotence, then
     read back — the result hash-matches the source table exactly (every
     event delivered once, none duplicated)."""
-    out = tempfile.mkdtemp(prefix="eo_sink_") + "/events"
-    ckpt = tempfile.mkdtemp(prefix="eo_ckpt_")
+    out = scratch_dir("eo_sink_") + "/events"
+    ckpt = scratch_dir("eo_ckpt_")
 
     def run_once() -> None:
         s = runtime.events_stream(spark, sf_dir).select(

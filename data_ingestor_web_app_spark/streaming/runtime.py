@@ -23,7 +23,7 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from data_ingestor_web_app_spark.io import table
+from data_ingestor_web_app_spark.io import scratch_dir, table
 
 _counter = itertools.count()
 _replay_cache: dict[tuple, str] = {}
@@ -67,7 +67,7 @@ def write_replay_files(spark: SparkSession, sf_dir: str, n_files: int) -> str:
     key = (sf_dir, n_files)
     if key in _replay_cache:
         return _replay_cache[key]
-    out = tempfile.mkdtemp(prefix="events_replay_")
+    out = scratch_dir("events_replay_")
     e = table(spark, sf_dir, "events").withColumn("_ts_us", F.unix_micros("ts"))
     probs = [i / n_files for i in range(1, n_files)]
     cuts = e.approxQuantile("_ts_us", probs, 0.0)
@@ -79,7 +79,7 @@ def write_replay_files(spark: SparkSession, sf_dir: str, n_files: int) -> str:
             chunk = chunk.where(F.col("_ts_us") > bounds[i])
         if bounds[i + 1] is not None:
             chunk = chunk.where(F.col("_ts_us") <= bounds[i + 1])
-        path_dir = tempfile.mkdtemp(prefix=f"chunk{i}_")
+        path_dir = scratch_dir(f"chunk{i}_")
         chunk.drop("_ts_us").coalesce(1).write.mode("overwrite").parquet(path_dir)
         part = next(p for p in os.listdir(path_dir) if p.endswith(".parquet"))
         dst = os.path.join(out, f"part-{i:04d}.parquet")
@@ -103,7 +103,7 @@ def write_replay_files_by_count(spark: SparkSession, sf_dir: str, n_files: int) 
     key = (sf_dir, n_files, "count")
     if key in _replay_cache:
         return _replay_cache[key]
-    out = tempfile.mkdtemp(prefix="events_replay_count_")
+    out = scratch_dir("events_replay_count_")
     from pyspark.sql.window import Window
 
     e = table(spark, sf_dir, "events")
@@ -116,7 +116,7 @@ def write_replay_files_by_count(spark: SparkSession, sf_dir: str, n_files: int) 
     )
     now = time.time()
     for i in range(n_files):
-        path_dir = tempfile.mkdtemp(prefix=f"cchunk{i}_")
+        path_dir = scratch_dir(f"cchunk{i}_")
         chunked.where(F.col("_chunk") == i).drop("_rn", "_n", "_chunk").coalesce(
             1
         ).write.mode("overwrite").parquet(path_dir)
@@ -172,7 +172,7 @@ def run_to_memory(
     """
     spark = sdf.sparkSession
     name = f"mem_{next(_counter)}_{os.getpid()}"
-    ckpt = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
+    ckpt = scratch_dir(f"ckpt_{name}_")
     with _conf_scope_lock:
         old = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set(

@@ -11,6 +11,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from data_ingestor_web_app_spark.io import scratch_dir
 from data_ingestor_web_app_spark.registry import query
 from data_ingestor_web_app_spark.streaming import runtime
 
@@ -68,12 +69,12 @@ def stream_foreach_ack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: acks are written executor-side per partition — no
     driver involvement, no shuffle beyond the source's own."""
-    ack_dir = tempfile.mkdtemp(prefix="ack_sink_")
+    ack_dir = scratch_dir("ack_sink_")
     s = runtime.events_stream(spark, sf_dir).select("event_id")
 
     q = (
         s.writeStream.foreach(make_ack_writer(ack_dir))
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ack_ckpt_"))
+        .option("checkpointLocation", scratch_dir("ack_ckpt_"))
         .trigger(availableNow=True)
         .start()
     )

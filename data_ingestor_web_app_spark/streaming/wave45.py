@@ -16,7 +16,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from data_ingestor_web_app_spark.io import table
+from data_ingestor_web_app_spark.io import scratch_dir, table
 from data_ingestor_web_app_spark.registry import query
 
 
@@ -56,7 +56,7 @@ def stream_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
         F.col("o_orderdate").cast("timestamp").alias("o_orderdate"),
     )
-    root = tempfile.mkdtemp(prefix="scd2_stream_")
+    root = scratch_dir("scd2_stream_")
     feed = os.path.join(root, "feed")
     current = {"dir": None}
     # three time-ordered chunks (fixture orders span 1995..2001)
@@ -173,7 +173,7 @@ def scan_ignore_corrupt_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: per-file error isolation at the scan; everything else is
     the ordinary rollup."""
     o = table(spark, sf_dir, "orders").select("o_orderstatus", "o_totalprice")
-    out = os.path.join(tempfile.mkdtemp(prefix="corrupt_scan_"), "orders")
+    out = os.path.join(scratch_dir("corrupt_scan_"), "orders")
     o.write.mode("overwrite").parquet(out)
     with open(os.path.join(out, "part-corrupt.parquet"), "wb") as f:
         f.write(b"NOT A PARQUET FILE \x00\x01\x02 truncated upload garbage")

@@ -24,7 +24,7 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from data_ingestor_web_app_spark.io import table
+from data_ingestor_web_app_spark.io import scratch_dir, table
 from data_ingestor_web_app_spark.registry import query
 from data_ingestor_web_app_spark.streaming import runtime
 
@@ -65,7 +65,7 @@ def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     # emission are batch-count-invariant: the final table is the full
     # join result either way (hash-checked against the batch LEFT JOIN).
     src = runtime.write_replay_files(spark, sf_dir, 2)
-    out = tempfile.mkdtemp(prefix="replay_sentinel_")
+    out = scratch_dir("replay_sentinel_")
     now = time.time()
     for i, f in enumerate(sorted(os.listdir(src))):
         dst = os.path.join(out, f)
@@ -85,7 +85,7 @@ def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
             ],
             schema=e.schema,
         ).withColumn("ts", F.col("ts") + F.expr(f"INTERVAL {k} DAYS"))
-        d = tempfile.mkdtemp(prefix=f"sent{k}_")
+        d = scratch_dir(f"sent{k}_")
         sent.coalesce(1).write.mode("overwrite").parquet(d)
         part = next(p for p in os.listdir(d) if p.endswith(".parquet"))
         dst = os.path.join(out, f"part-9{k:03d}.parquet")

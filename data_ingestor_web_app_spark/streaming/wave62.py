@@ -13,7 +13,7 @@ import time
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from data_ingestor_web_app_spark.io import table
+from data_ingestor_web_app_spark.io import scratch_dir, table
 from data_ingestor_web_app_spark.registry import query
 
 # Deterministic date chunking: the events fixture spans 2024-01-01..30.
@@ -62,7 +62,7 @@ def stream_dim_refresh_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim; the accumulator sink is an append-only parquet the final
     rollup reads back with map-side partials."""
     e = table(spark, sf_dir, "events").select("event_type", "value", "ts")
-    root = tempfile.mkdtemp(prefix="dim_refresh_")
+    root = scratch_dir("dim_refresh_")
     src = os.path.join(root, "replay")
     os.makedirs(src)
     cut0 = F.lit(_CUTS[0]).cast("timestamp")
@@ -74,7 +74,7 @@ def stream_dim_refresh_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     now = time.time()
     for i, chunk in enumerate(chunks):
-        tmp = tempfile.mkdtemp(prefix=f"dimchunk{i}_")
+        tmp = scratch_dir(f"dimchunk{i}_")
         chunk.coalesce(1).write.mode("overwrite").parquet(tmp)
         part = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
         dst = os.path.join(src, f"part-{i:04d}.parquet")

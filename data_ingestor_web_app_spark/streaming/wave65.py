@@ -12,7 +12,7 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from data_ingestor_web_app_spark.io import table
+from data_ingestor_web_app_spark.io import scratch_dir, table
 from data_ingestor_web_app_spark.registry import query
 
 _CUTOVER = "2024-01-21"
@@ -46,7 +46,7 @@ def stream_backfill_cutover(spark: SparkSession, sf_dir: str) -> DataFrame:
     accumulator; dedup is one event_id groupBy over the (bounded)
     overlap plus disjoint remainder; the rollup is map-side combined."""
     e = table(spark, sf_dir, "events").select("event_id", "ts")
-    root = tempfile.mkdtemp(prefix="cutover_")
+    root = scratch_dir("cutover_")
     acc = os.path.join(root, "acc")
     cutover = F.lit(_CUTOVER).cast("timestamp")
     overlap0 = F.lit(_OVERLAP_START).cast("timestamp")
@@ -60,7 +60,7 @@ def stream_backfill_cutover(spark: SparkSession, sf_dir: str) -> DataFrame:
     tail = e.where(F.col("ts") >= overlap0)
     now = time.time()
     for i in range(3):
-        tmp = tempfile.mkdtemp(prefix=f"tail{i}_")
+        tmp = scratch_dir(f"tail{i}_")
         tail.where(F.pmod("event_id", F.lit(3)) == i).coalesce(1).write.mode(
             "overwrite"
         ).parquet(tmp)
