@@ -47,6 +47,7 @@ allowlist entry, never silence.
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass
 
 # Fixture tables whose row counts grow with scale factor. region/nation are
@@ -67,6 +68,26 @@ BARRIERS = {
 }
 
 WINDOW_NODES = {"WindowExec", "WindowInPandasExec"}
+
+# Dense primary-key columns of the fixture tables: a filter pinning one of
+# these to a LITERAL upper bound / value caps the frame at O(literal) rows
+# at ANY scale factor (keys are dense from 0/1), so such a FilterExec is a
+# cardinality barrier — this is how the retrieval family bounds its
+# broadcast query sets ("vec_id < 20", "doc_id < 50").
+_KEY_COLS = (
+    "vec_id|doc_id|event_id|o_orderkey|l_orderkey|p_partkey|s_suppkey|c_custkey"
+)
+_KEY_BOUND_RE = re.compile(rf"\b(?:{_KEY_COLS})#\d+L? (?:<|<=|=) \d+")
+
+
+def _is_key_bounded_filter(node) -> bool:
+    if _cls(node) != "FilterExec":
+        return False
+    try:
+        cond = str(node.condition().toString())
+    except Exception:
+        return False
+    return bool(_KEY_BOUND_RE.search(cond))
 
 
 @dataclass
@@ -111,7 +132,7 @@ def unguarded_scans(node) -> set[str]:
     stack = [node]
     while stack:
         n = stack.pop()
-        if _cls(n) in BARRIERS:
+        if _cls(n) in BARRIERS or _is_key_bounded_filter(n):
             continue
         t = _scan_table(n)
         if t is not None:

@@ -491,6 +491,8 @@ _MODULES = [
     "data_ingestor_web_app_spark.llm.wave379",  # ASO / canary exposure
     "data_ingestor_web_app_spark.operators.wave380",  # isotonic PAVA / seasonal decompose
     "data_ingestor_web_app_spark.operators.wave381",  # ARCH LM / goldfeld-quandt
+    # --- round-11 additions (behind the 50-slot window) ---
+    "data_ingestor_web_app_spark.operators.wave382",  # knox space-time / LZ76
 ]
 
 

@@ -47,6 +47,13 @@ PROBES = [
     # scale), sharded prefix rank (gains_table: rank-within-value +
     # offsets), and the double-collapse Spearman (two small rank joins)
     "agg_palma_ratio", "model_gains_table", "agg_spearman_rho",
+    # round 11 (VERDICT r10 item 8): the newest quadratic-LOOKING shelf —
+    # each collapses to a bounded grid FIRST (24-hour grid, daily
+    # calendar, <=32x32 behaviour cells), so the (i,j,k)/pair stages run
+    # on constant-size frames and measured wall should stay ~linear in
+    # corpus volume. Probed to prove the documented scale shape, not
+    # assume it.
+    "model_isotonic_pava", "events_seasonal_decompose", "spatial_ripley_k",
 ]
 
 
@@ -649,7 +656,19 @@ def main() -> None:
         "--winskew", action="store_true",
         help="probe hot-key skew for the per-key window family",
     )
+    ap.add_argument(
+        "--only", default=None,
+        help="comma-separated subset of PROBES to run (incremental probing "
+        "of newly added ops without re-timing the whole shelf)",
+    )
     args = ap.parse_args()
+
+    if args.only:
+        subset = [n for n in args.only.split(",") if n]
+        unknown = [n for n in subset if n not in PROBES]
+        if unknown:
+            raise SystemExit(f"--only names not in PROBES: {unknown}")
+        PROBES[:] = subset
 
     if args.skew:
         run_skew_probe(args)
