@@ -493,6 +493,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave381",  # ARCH LM / goldfeld-quandt
     # --- round-11 additions (behind the 50-slot window) ---
     "data_ingestor_web_app_spark.operators.wave382",  # knox space-time / LZ76
+    "data_ingestor_web_app_spark.operators.wave383",  # seasonal kendall / double sweep
 ]
 
 
