@@ -494,6 +494,7 @@ _MODULES = [
     # --- round-11 additions (behind the 50-slot window) ---
     "data_ingestor_web_app_spark.operators.wave382",  # knox space-time / LZ76
     "data_ingestor_web_app_spark.operators.wave383",  # seasonal kendall / double sweep
+    "data_ingestor_web_app_spark.operators.wave384",  # BOCPD integer recursion
 ]
 
 
