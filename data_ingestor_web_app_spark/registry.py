@@ -496,6 +496,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave383",  # seasonal kendall / double sweep
     "data_ingestor_web_app_spark.operators.wave384",  # BOCPD integer recursion
     "data_ingestor_web_app_spark.operators.wave385",  # seasonal sen slope
+    "data_ingestor_web_app_spark.operators.wave386",  # fano factor / RQA
 ]
 
 
