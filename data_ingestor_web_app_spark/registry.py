@@ -496,7 +496,8 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave383",  # seasonal kendall / double sweep
     "data_ingestor_web_app_spark.operators.wave384",  # BOCPD integer recursion
     "data_ingestor_web_app_spark.operators.wave385",  # seasonal sen slope
-    "data_ingestor_web_app_spark.operators.wave386",  # fano factor / RQA
+    "data_ingestor_web_app_spark.operators.wave386",  # fano factor / higuchi FD
+    "data_ingestor_web_app_spark.operators.wave387",  # crow-AMSAA / u-chart
 ]
 
 
