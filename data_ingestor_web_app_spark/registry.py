@@ -498,6 +498,7 @@ _MODULES = [
     "data_ingestor_web_app_spark.operators.wave385",  # seasonal sen slope
     "data_ingestor_web_app_spark.operators.wave386",  # fano factor / higuchi FD
     "data_ingestor_web_app_spark.operators.wave387",  # crow-AMSAA / u-chart
+    "data_ingestor_web_app_spark.streaming.wave388",  # streaming BOCPD
 ]
 
 
