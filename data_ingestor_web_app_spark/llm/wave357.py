@@ -34,17 +34,21 @@ _LPI = tuple(_lmicro(p) for p in _PI)
 @query(
     "model_hmm_viterbi",
     oracle=f"""
-    WITH RECURSIVE daily AS (
+    WITH RECURSIVE daily AS MATERIALIZED (
         SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS x
         FROM events GROUP BY day
     ),
-    med AS (
+    med AS MATERIALIZED (
         SELECT x AS m FROM (
             SELECT x, ROW_NUMBER() OVER (ORDER BY x, day) AS rn,
                    COUNT(*) OVER () AS n FROM daily) t
         WHERE rn = (n + 1) // 2
     ),
-    obs AS (
+    -- r11: MATERIALIZED, because DuckDB inlines CTEs into recursive
+    -- members — without it every one of the T recursion levels (and the
+    -- backtrack's vit references) re-ran the events scan + windows,
+    -- putting a 30-level recursion at ~45 s of pure oracle overhead
+    obs AS MATERIALIZED (
         SELECT ROW_NUMBER() OVER (ORDER BY day) AS t,
                STRFTIME(day, '%Y-%m-%d') AS d,
                CASE WHEN x > (SELECT m FROM med) THEN 1 ELSE 0 END AS o

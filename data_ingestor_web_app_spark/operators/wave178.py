@@ -153,28 +153,26 @@ def agg_countmin_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
                    AS gap
         FROM series
     ),
-    zf(k, rn, s) AS (
-        SELECT k, 1, z FROM idx WHERE rn = 1
-        UNION ALL
-        SELECT i.k, i.rn, 0.5 * i.z + 0.5 * f.s
-        FROM zf f JOIN idx i ON i.k = f.k AND i.rn = f.rn + 1
-    ),
-    pf(k, rn, p) AS (
-        SELECT k, 2, gap FROM idx WHERE rn = 2
-        UNION ALL
-        SELECT i.k, i.rn, 0.5 * i.gap + 0.5 * f.p
-        FROM pf f JOIN idx i ON i.k = f.k AND i.rn = f.rn + 1
-    ),
-    last_z AS (
-        SELECT k, s FROM zf QUALIFY ROW_NUMBER() OVER (PARTITION BY k ORDER BY rn DESC) = 1
-    ),
-    last_p AS (
-        SELECT k, p FROM pf QUALIFY ROW_NUMBER() OVER (PARTITION BY k ORDER BY rn DESC) = 1
-    ),
-    n AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n_demand_days FROM idx GROUP BY k)
-    SELECT n.k AS s_suppkey, n.n_demand_days,
-           z.s AS z_hat, p.p AS p_hat, z.s / p.p AS croston_rate
-    FROM n JOIN last_z z ON z.k = n.k JOIN last_p p ON p.k = n.k
+    -- r11: the alpha=0.5 recurrences as per-key LIST left folds instead of
+    -- the r5 one-row-per-level recursive CTE (which stepped max-series-
+    -- length levels joining idx each level and dominated the gate wall at
+    -- ~50-100 s — DuckDB-side only; the fold seeds with the first element
+    -- exactly like the recursion's base case, so every intermediate double
+    -- is bit-identical: acc' = 0.5 * z + 0.5 * acc in both forms)
+    packed AS (
+        SELECT k,
+               LIST(z ORDER BY rn) AS zs,
+               LIST(gap ORDER BY rn) FILTER (WHERE gap IS NOT NULL) AS gaps,
+               CAST(COUNT(*) AS BIGINT) AS n_demand_days
+        FROM idx GROUP BY k
+    )
+    SELECT k AS s_suppkey, n_demand_days,
+           LIST_REDUCE(zs, (acc, z) -> 0.5 * z + 0.5 * acc) AS z_hat,
+           LIST_REDUCE(gaps, (acc, g) -> 0.5 * g + 0.5 * acc) AS p_hat,
+           LIST_REDUCE(zs, (acc, z) -> 0.5 * z + 0.5 * acc)
+               / LIST_REDUCE(gaps, (acc, g) -> 0.5 * g + 0.5 * acc)
+               AS croston_rate
+    FROM packed WHERE LEN(gaps) >= 1
     """,
 )
 def events_croston_intermittent(spark: SparkSession, sf_dir: str) -> DataFrame:
