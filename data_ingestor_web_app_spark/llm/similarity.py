@@ -28,6 +28,9 @@ from data_ingestor_web_app_spark.llm.vector_common import (
     SIM_COSINE_TOPK_ORACLE,
     ORACLE_DOT as _ORACLE_DOT,
     ann_bucket_ctes as _ann_bucket_ctes,
+    best_centroid as _best_centroid,
+    centroid_dots_sorted as _centroid_dots_sorted,
+    codebook_row as _codebook_row,
     dot as _dot,
     hyperplanes as _hyperplanes,
     norm as _norm,
@@ -218,17 +221,22 @@ def sim_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: centroids are tiny (K x dim) and BROADCAST; the corpus is
     scanned once; assignment is a per-row argmax — no shuffle of the
     corpus. The posting lists (`assigned_centroid`) then bucket the ANN
-    search to corpus/K candidates per query."""
+    search to corpus/K candidates per query.
+
+    r11 (guide §2.4): the argmax is a per-row fold over the attached
+    codebook array instead of the old K-way crossJoin + row_number()
+    window — the window hash-partitioned N*K rows by vec_id (a full
+    corpus shuffle) to pick each row's own maximum. Same decision rule
+    (6dp-rounded dot DESC, c_label ASC), so assignments are identical;
+    the Exchange+Sort+Window drop out of the plan."""
     e = table(spark, sf_dir, "embeddings")
     cent = _centroids(e)
-    pairs = e.crossJoin(F.broadcast(cent))
-    dot = F.round(_dot(F.col("embedding"), F.col("centroid")), 6)
-    w = Window.partitionBy("vec_id").orderBy(F.col("centroid_dot").desc(), F.col("c_label"))
-    return (
-        pairs.select("vec_id", "label", "c_label", dot.alias("centroid_dot"))
-        .withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") == 1)
-        .select("vec_id", "label", F.col("c_label").alias("assigned_centroid"), "centroid_dot")
+    best = _best_centroid("embedding")
+    return e.crossJoin(_codebook_row(cent)).select(
+        "vec_id",
+        "label",
+        best["c_label"].alias("assigned_centroid"),
+        best["dot"].alias("centroid_dot"),
     )
 
 
@@ -308,25 +316,22 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Recall vs the exact sim_cosine_topk is measured in pytest."""
     e = table(spark, sf_dir, "embeddings")
     cent = _centroids(e)
-    cdot = (
-        e.crossJoin(F.broadcast(cent))
-        .select(
-            "vec_id",
-            "c_label",
-            F.round(_dot(F.col("embedding"), F.col("centroid")), 6).alias("dot"),
-        )
+    # r11 (guide §2.4): per-row sorted centroid-dot array against the
+    # broadcast codebook row replaces the old crossJoin-K + row_number()
+    # windows — two full N*K corpus shuffles (assign rk=1, probe rk<=2)
+    # become per-row folds with the identical (6dp dot DESC, c_label ASC)
+    # ranking rule.
+    cdots = e.crossJoin(_codebook_row(cent)).select(
+        "vec_id", _centroid_dots_sorted("embedding").alias("ds")
     )
-    w_assign = Window.partitionBy("vec_id").orderBy(F.col("dot").desc(), F.col("c_label"))
-    assign = (
-        cdot.withColumn("rk", F.row_number().over(w_assign))
-        .where(F.col("rk") == 1)
-        .select("vec_id", "c_label")
-    )
+    assign = cdots.select("vec_id", F.col("ds")[0]["c_label"].alias("c_label"))
     probe = (
-        cdot.where(F.col("vec_id") < 20)
-        .withColumn("rk", F.row_number().over(w_assign))
-        .where(F.col("rk") <= 2)
-        .select(F.col("vec_id").alias("qid"), "c_label")
+        cdots.where(F.col("vec_id") < 20)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.explode(F.slice("ds", 1, 2)).alias("d"),
+        )
+        .select("qid", F.col("d.c_label").alias("c_label"))
     )
     base = e.select("vec_id", "embedding", _norm(F.col("embedding")).alias("nrm"))
     corpus = base.join(assign, "vec_id").select(

@@ -35,6 +35,64 @@ def norm(a):
     )
 
 
+def codebook_row(cent):
+    """Collapse a (c_label, centroid) codebook DataFrame into ONE row
+    holding array<struct<c_label, centroid>> — crossJoin(broadcast(.)) of
+    this row attaches the whole codebook to every corpus row so argmax
+    assignment is a per-row fold (r11, guide §2.4): the old shape
+    (crossJoin each of the K centroids, then row_number() over
+    Window.partitionBy(vec_id)) multiplied the corpus K-fold AND shuffled
+    those N*K rows (embedding payload included) just to pick each row's
+    max — at 100 TB that window exchange is a full corpus shuffle the
+    assignment never needed."""
+    from pyspark.sql import functions as F  # local: keep module surface unchanged
+
+    return F.broadcast(
+        cent.agg(F.collect_list(F.struct("c_label", "centroid")).alias("cents"))
+    )
+
+
+# Comparator mirror of "ORDER BY dot DESC, c_label ASC": total order because
+# c_label is unique per codebook entry, so the argmax is independent of the
+# collect_list assembly order of `cents`.
+_BEST_CENTROID_CMP = """
+    (l, r) -> CASE WHEN l.dot > r.dot THEN -1 WHEN l.dot < r.dot THEN 1
+                   WHEN l.c_label < r.c_label THEN -1
+                   WHEN l.c_label > r.c_label THEN 1 ELSE 0 END
+"""
+
+
+def centroid_dots_sorted(emb_col: str = "embedding"):
+    """array<struct<dot, c_label>> of the per-row centroid dot products,
+    sorted (dot DESC, c_label ASC). dot is the same zip_with+aggregate
+    sequential fold as dot() above, rounded to 6dp BEFORE ranking — the
+    exact decision rule the window formulation applied, so assignments are
+    bit-identical."""
+    from pyspark.sql import functions as F
+
+    return F.expr(
+        f"""
+        array_sort(
+          transform(cents, c -> named_struct(
+            'dot', round(aggregate(zip_with({emb_col}, c.centroid,
+                                            (x, y) -> cast(x as double)
+                                                      * cast(y as double)),
+                                   cast(0.0 as double),
+                                   (acc, v) -> acc + v), 6),
+            'c_label', c.c_label)),
+          {_BEST_CENTROID_CMP})
+        """
+    )
+
+
+def best_centroid(emb_col: str = "embedding"):
+    """struct<dot, c_label> of the argmax-dot centroid (rounded-dot DESC,
+    c_label ASC tie-break) against the attached `cents` codebook column."""
+    from pyspark.sql import functions as F
+
+    return F.element_at(centroid_dots_sorted(emb_col), 1)
+
+
 N_PLANES = 12  # 2^12 LSH buckets; planes are a fixed seeded projection
 
 

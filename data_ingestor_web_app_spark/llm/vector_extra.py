@@ -15,6 +15,8 @@ from pyspark.sql import functions as F
 from data_ingestor_web_app_spark.io import table
 from data_ingestor_web_app_spark.llm.vector_common import (
     SIM_COSINE_TOPK_ORACLE,
+    best_centroid as _best_centroid,
+    codebook_row as _codebook_row,
     dot as _dot,
     hyperplanes as _hyperplanes,
     norm as _norm,
@@ -100,14 +102,14 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "embedding", _norm(F.col("embedding")).alias("nrm"))
     )
     cent = _label_means(e)
-    cdot = base.crossJoin(F.broadcast(cent)).select(
-        "doc_id", "c_label", F.round(_dot(F.col("embedding"), F.col("centroid")), 6).alias("dot")
+    # r11 (guide §2.4): per-row fold argmax against the broadcast codebook
+    # row — drops the crossJoin-K + vec_id window (an N*K corpus shuffle)
+    # AND the join back onto `base` that re-attached the embedding the
+    # window path had to drop. Same (6dp dot DESC, c_label ASC) rule.
+    blocked = base.crossJoin(_codebook_row(cent)).select(
+        "doc_id", "embedding", "nrm",
+        _best_centroid("embedding")["c_label"].alias("c_label"),
     )
-    w = Window.partitionBy("doc_id").orderBy(F.col("dot").desc(), F.col("c_label"))
-    assign = (
-        cdot.withColumn("rk", F.row_number().over(w)).where(F.col("rk") == 1).select("doc_id", "c_label")
-    )
-    blocked = base.join(assign, "doc_id")
     a = blocked.select(
         F.col("doc_id").alias("doc_a"), F.col("embedding").alias("ea"),
         F.col("nrm").alias("na"), "c_label",
@@ -148,16 +150,13 @@ def _means_from(ue: DataFrame) -> DataFrame:
 def _assign_nearest(e: DataFrame, cent: DataFrame) -> DataFrame:
     """(vec_id, embedding, c_label): argmax-dot assignment against a
     broadcast codebook — rounded dot, c_label tie-break, corpus never
-    shuffles."""
-    cdot = e.crossJoin(F.broadcast(cent)).select(
-        "vec_id", "embedding", "c_label",
-        F.round(_dot(F.col("embedding"), F.col("centroid")), 6).alias("dot"),
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.col("dot").desc(), F.col("c_label"))
-    return (
-        cdot.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") == 1)
-        .select("vec_id", "embedding", "c_label")
+    shuffles. r11 (guide §2.4): per-row fold over the attached codebook
+    array; the old crossJoin-K + row_number() window hash-partitioned N*K
+    rows (embedding payload included) by vec_id — a corpus shuffle per
+    Lloyd iteration that the per-row argmax never needed. Decision rule
+    unchanged (6dp-rounded dot DESC, c_label ASC)."""
+    return e.crossJoin(_codebook_row(cent)).select(
+        "vec_id", "embedding", _best_centroid("embedding")["c_label"].alias("c_label")
     )
 
 
