@@ -129,10 +129,17 @@ def prefix_filtered_pairs(toksets: DataFrame, tau: float) -> tuple[DataFrame, Da
     tb = toksets.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
     inter = F.size(F.array_intersect("toks_a", "toks_b"))
     jac = inter / (F.size("toks_a") + F.size("toks_b") - inter)
+    # r11: single-reference exact integer threshold (see dedup_minhash_lsh)
+    # so array_intersect runs once per candidate, not twice; tau is a
+    # 2-decimal threshold so 100*tau is exact.
+    tau100 = int(round(tau * 100))
+    pass_tau = ((100 + tau100) * inter) >= (
+        tau100 * (F.size("toks_a") + F.size("toks_b"))
+    )
     verified = (
         candidates.join(ta, "doc_a")
         .join(tb, "doc_b")
-        .where(jac >= tau)
+        .where(pass_tau)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
     return candidates, verified
@@ -341,16 +348,25 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(no_earlier_band_agrees)
         .select(F.col("a.tset").alias("set_a"), F.col("b.tset").alias("set_b"))
     )
-    # exact verification on representative pairs only
+    # exact verification on representative pairs only. r11: the threshold
+    # test is the exact integer-rational form 19*inter >= 9*(la+lb)
+    # (⟺ inter/(la+lb-inter) >= 0.9 — token-set sizes are far below the
+    # ~1e7 denominator where the double comparison could diverge from the
+    # rational one), so `inter` appears ONCE in the filter predicate: the
+    # old jac >= 0.9 form referenced it twice and Spark evaluated the
+    # array_intersect TWICE per candidate pair (1.55M pairs at sf0.1, the
+    # single most expensive block in the query); the rounded jaccard is
+    # recomputed only for survivors (~29k).
     ta = reps.select(F.col("tset").alias("set_a"), F.col("toks").alias("toks_a"))
     tb = reps.select(F.col("tset").alias("set_b"), F.col("toks").alias("toks_b"))
     inter = F.size(F.array_intersect("toks_a", "toks_b"))
     union = F.size("toks_a") + F.size("toks_b") - inter
     jac = inter / union
+    pass_09 = (19 * inter) >= (9 * (F.size("toks_a") + F.size("toks_b")))
     verified = (
         candidates.join(ta, "set_a")
         .join(tb, "set_b")
-        .where(jac >= 0.9)
+        .where(pass_09)
         .select("set_a", "set_b", F.round(jac, 6).alias("jaccard"))
     )
     # expand rep pairs to doc pairs through group membership

@@ -29,10 +29,12 @@ from data_ingestor_web_app_spark.llm.vector_common import (
     ORACLE_DOT as _ORACLE_DOT,
     ann_bucket_ctes as _ann_bucket_ctes,
     best_centroid as _best_centroid,
+    bucket_from_micro_dots as _bucket_from_micro_dots,
     centroid_dots_sorted as _centroid_dots_sorted,
     codebook_row as _codebook_row,
     dot as _dot,
     hyperplanes as _hyperplanes,
+    micro_dots_all as _micro_dots_all,
     norm as _norm,
     plane_micro_dot as _plane_micro_dot,
 )
@@ -147,15 +149,22 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (flipping low-margin bits) would raise recall; tests measure recall
     against sim_cosine_topk instead of asserting exact equality."""
     e = table(spark, sf_dir, "embeddings")
-    planes = _hyperplanes()
     # integer micro-dot projections: sign test is order-independent, so the
-    # DuckDB oracle's unordered SUM can never flip a bucket bit (r5 ADVICE)
-    plane_cols = [_plane_micro_dot(F.col("embedding"), plane) for plane in planes]
-    bucket = None
-    for i, pc in enumerate(plane_cols):
-        bit = F.when(pc > 0, F.lit(1 << i)).otherwise(F.lit(0))
-        bucket = bit if bucket is None else bucket + bit
-    base = e.select("vec_id", "embedding", bucket.alias("bucket"), _norm(F.col("embedding")).alias("nrm"))
+    # DuckDB oracle's unordered SUM can never flip a bucket bit (r5 ADVICE).
+    # r11: all 12 projections come from ONE literal plane matrix + fold
+    # (vector_common.micro_dots_all) — the old 12 separate folds made the
+    # expression tree so large that Catalyst planning dominated the query.
+    base = e.select(
+        "vec_id",
+        "embedding",
+        _micro_dots_all("embedding").alias("pd"),
+        _norm(F.col("embedding")).alias("nrm"),
+    ).select(
+        "vec_id",
+        "embedding",
+        _bucket_from_micro_dots(F.col("pd")).alias("bucket"),
+        "nrm",
+    )
     a = base.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"), F.col("nrm").alias("qn"), "bucket")
     b = base.select(F.col("vec_id").alias("nid"), F.col("embedding").alias("ne"), F.col("nrm").alias("nn"), "bucket")
     cand = a.join(b, ["bucket"]).where(F.col("qid") != F.col("nid"))

@@ -125,6 +125,54 @@ def plane_micro_dot(emb, plane: list[float]):
     )
 
 
+def micro_dots_all(emb_col: str = "embedding"):
+    """array<long> of ALL N_PLANES integer micro-dot projections in one
+    expression: a single 12x64 literal plane matrix + one transform/fold,
+    instead of 12 separate plane_micro_dot folds (each carrying its own
+    64-double literal, and each typically referenced 2-3x by bucket/margin
+    expressions). r11: the giant duplicated tree made Catalyst
+    analysis/optimization the bottleneck for the ANN queries — measured
+    sim_ann_multiprobe warm wall 4.3 s with <1 s of task time. Per-element
+    arithmetic and fold order are IDENTICAL to plane_micro_dot, so every
+    projection value is bit-equal."""
+    from pyspark.sql import functions as F
+
+    planes_lit = F.array(
+        *[F.array(*[F.lit(v) for v in pv]) for pv in hyperplanes()]
+    )
+    return F.transform(
+        planes_lit,
+        lambda p: F.aggregate(
+            F.zip_with(
+                F.col(emb_col),
+                p,
+                lambda x, y: F.floor(x.cast("double") * y * F.lit(1e9)).cast(
+                    "long"
+                ),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ),
+    )
+
+
+def bucket_from_micro_dots(pd_col):
+    """Sign-bit LSH bucket from a MATERIALIZED micro-dot array COLUMN:
+    Σ (pd[i] > 0) << i. Pass a column reference (e.g. F.col("pd")), not the
+    micro_dots_all expression itself — the 12 element_at terms would
+    otherwise inline the fold 12x and re-grow the tree. Integer sum,
+    bit-equal to the old per-plane when(...) chain."""
+    from pyspark.sql import functions as F
+
+    bucket = None
+    for i in range(N_PLANES):
+        bit = F.when(F.element_at(pd_col, i + 1) > 0, F.lit(1 << i)).otherwise(
+            F.lit(0)
+        )
+        bucket = bit if bucket is None else bucket + bit
+    return bucket
+
+
 def planes_values_sql() -> str:
     """The seeded hyperplane matrix as a DuckDB VALUES literal — repr()
     emits shortest-roundtrip decimals, so DuckDB parses the exact same

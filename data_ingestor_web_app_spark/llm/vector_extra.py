@@ -288,23 +288,35 @@ def sim_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     pytest measures recall vs exact top-3 and asserts it beats single-probe
     sim_ann_lsh."""
     e = table(spark, sf_dir, "embeddings")
-    planes = _hyperplanes()
     # integer micro-dot projections: sign test AND |margin| ranking are
     # order-independent, so the DuckDB oracle's unordered SUM can never flip
-    # a bucket bit or reorder the probe sequence (r5 ADVICE)
-    plane_cols = [_plane_micro_dot(F.col("embedding"), plane) for plane in planes]
-    bucket = None
-    for i, pc in enumerate(plane_cols):
-        bit = F.when(pc > 0, F.lit(1 << i)).otherwise(F.lit(0))
-        bucket = bit if bucket is None else bucket + bit
-    margins = F.array_sort(
-        F.array(*[F.struct(F.abs(pc).alias("m"), F.lit(i).alias("i")) for i, pc in enumerate(plane_cols)])
+    # a bucket bit or reorder the probe sequence (r5 ADVICE). r11: all 12
+    # projections from ONE literal plane matrix + fold (micro_dots_all) —
+    # the old 12 separate folds, each referenced again by the margins
+    # array, made Catalyst planning the dominant cost (warm wall 4.3 s,
+    # <1 s task time).
+    from data_ingestor_web_app_spark.llm.vector_common import (
+        N_PLANES as _N_PLANES,
+        bucket_from_micro_dots as _bucket_from_micro_dots,
+        micro_dots_all as _micro_dots_all,
     )
-    base = e.select(
-        "vec_id", "embedding",
-        bucket.alias("bucket"),
-        margins.alias("margins"),
+
+    pd_base = e.select(
+        "vec_id", "embedding", _micro_dots_all("embedding").alias("pd"),
         _norm(F.col("embedding")).alias("nrm"),
+    )
+    margins = F.array_sort(
+        F.zip_with(
+            F.col("pd"),
+            F.sequence(F.lit(0), F.lit(_N_PLANES - 1)),
+            lambda d, i: F.struct(F.abs(d).alias("m"), i.alias("i")),
+        )
+    )
+    base = pd_base.select(
+        "vec_id", "embedding",
+        _bucket_from_micro_dots(F.col("pd")).alias("bucket"),
+        margins.alias("margins"),
+        "nrm",
     )
     # corpus: one bucket per vector (the stored index)
     corpus = base.select(

@@ -133,10 +133,11 @@ def dedup_minhash_lsh_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     band-bucket self-join generates candidates; exact Jaccard >= 0.9
     verification on representative pairs; expansion back through group
     membership (cross pairs inherit the reps' Jaccard, within-group pairs
-    are 1.0 by identity). The production variant's first-matching-band
-    emission is replaced by DISTINCT here because the OUTPUT is a pair
-    set either way — the oracle mirrors the set semantics, not the
-    dedup mechanics; throughput-critical corpora use dedup_minhash_lsh
+    are 1.0 by identity). Candidates use the same first-matching-band
+    emission as the production variant (r11; it yields the identical pair
+    SET the old DISTINCT produced, without re-shuffling the 2.6M raw band
+    matches — the oracle mirrors the set semantics, not the dedup
+    mechanics); throughput-critical corpora use dedup_minhash_lsh
     (xxhash64, rows-only + recall-gated).
 
     Scale shape: identical to dedup_minhash_lsh — linear signature pass,
@@ -158,24 +159,33 @@ def dedup_minhash_lsh_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tset", "toks", F.expr(_MINHASH_FOLD).alias("mh")
     ).cache()
     rows_per_band = _N_HASHES // _N_BANDS
-    band_rows = sig.select(
-        "tset",
-        F.posexplode(
-            F.array(
+    barr = F.array(
+        *[
+            F.concat_ws(
+                ":",
                 *[
-                    F.concat_ws(
-                        ":",
-                        *[
-                            F.col("mh")[b * rows_per_band + r].cast("string")
-                            for r in range(rows_per_band)
-                        ],
-                    )
-                    for b in range(_N_BANDS)
-                ]
+                    F.col("mh")[b * rows_per_band + r].cast("string")
+                    for r in range(rows_per_band)
+                ],
             )
-        ).alias("band", "bsig"),
+            for b in range(_N_BANDS)
+        ]
+    )
+    band_rows = sig.select("tset", barr.alias("barr")).select(
+        "tset", "barr", F.posexplode("barr").alias("band", "bsig")
     )
     a, b = band_rows.alias("a"), band_rows.alias("b")
+    # r11: first-agreeing-band emission (same device as dedup_minhash_lsh —
+    # the (band, bsig) equi-key implies agreement AT `band`, the residual
+    # scalar conjuncts require every earlier band to differ) replaces the
+    # 2.6M-row DISTINCT re-shuffle; the emitted pair SET is identical (a
+    # pair agreeing anywhere has exactly one first agreement), which is
+    # all the set-semantics oracle observes.
+    no_earlier_band_agrees = F.lit(True)
+    for i in range(_N_BANDS - 1):
+        no_earlier_band_agrees = no_earlier_band_agrees & (
+            (F.col("a.band") <= i) | (F.col("a.barr")[i] != F.col("b.barr")[i])
+        )
     cand = (
         a.join(
             b,
@@ -183,18 +193,21 @@ def dedup_minhash_lsh_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.bsig") == F.col("b.bsig"))
             & (F.col("a.tset") < F.col("b.tset")),
         )
+        .where(no_earlier_band_agrees)
         .select(F.col("a.tset").alias("set_a"), F.col("b.tset").alias("set_b"))
-        .distinct()
     )
     ra = sig.select(F.col("tset").alias("set_a"), F.col("toks").alias("toks_a"))
     rb = sig.select(F.col("tset").alias("set_b"), F.col("toks").alias("toks_b"))
     inter = F.size(F.array_intersect("toks_a", "toks_b"))
     union = F.size("toks_a") + F.size("toks_b") - inter
     jac = inter / union
+    # single-reference exact integer threshold: array_intersect once per
+    # candidate (see dedup_minhash_lsh), rounded jaccard only for survivors
+    pass_09 = (19 * inter) >= (9 * (F.size("toks_a") + F.size("toks_b")))
     ver = (
         cand.join(ra, "set_a")
         .join(rb, "set_b")
-        .where(jac >= 0.9)
+        .where(pass_09)
         .select("set_a", "set_b", F.round(jac, 6).alias("jaccard"))
     )
     ma = members.select(F.col("tset").alias("set_a"), F.col("doc_id").alias("da"))
