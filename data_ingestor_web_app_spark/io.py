@@ -58,6 +58,33 @@ def ensure_session_confs(spark: SparkSession) -> None:
         spark.conf.set("spark.sql.shuffle.partitions", "32")
 
 
+def local_df(spark: SparkSession, rows, schema: str) -> DataFrame:
+    """Small literal frame as pure JVM literals:
+    ``range(1) -> inline(array(struct(...)))`` cast to ``schema``.
+
+    Drop-in for ``spark.createDataFrame(rows, schema)`` on small constant
+    grids (r11, guide §4). createDataFrame parallelizes PICKLED rows, so
+    the frame is a Python-RDD scan: every evaluation is a Python-worker
+    round trip, and under a BroadcastNestedLoop/Cartesian build the inner
+    Python partition is re-evaluated PER PROBE ROW — measured: a 36-row
+    literal crossJoin (pipeline_lsh_tuning_curve) burned ~11 s inside one
+    task on repeated Python evaluations; the literal form runs in
+    whole-stage codegen with no Python anywhere. Single partition, same
+    column names/types as createDataFrame(rows, schema)."""
+    from pyspark.sql.types import StructType
+
+    st = StructType.fromDDL(schema) if isinstance(schema, str) else schema
+    names = [f.name for f in st.fields]
+    structs = [
+        F.struct(*[F.lit(v).alias(n) for v, n in zip(r, names)]) for r in rows
+    ]
+    return (
+        spark.range(0, 1, 1, 1)
+        .select(F.inline(F.array(*structs)))
+        .to(st)
+    )
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")

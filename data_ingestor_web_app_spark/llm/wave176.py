@@ -10,7 +10,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from data_ingestor_web_app_spark.io import scratch_dir, table
+from data_ingestor_web_app_spark.io import local_df, scratch_dir, table
 from data_ingestor_web_app_spark.registry import query
 
 # candidate (bands, rows) configs for a 64-hash signature
@@ -43,10 +43,11 @@ def pipeline_lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: a 36-row literal cross join — the analysis costs
     nothing; it EXPLAINS the operator that costs something."""
-    # literal frames default to defaultParallelism partitions each — a
-    # 4x9 cross join would otherwise plan 32x32 = 1024 tasks of nothing
-    cfg = spark.createDataFrame(_CONFIGS, "b int, r int").coalesce(1)
-    sg = spark.createDataFrame([(s,) for s in _S_GRID], "s double").coalesce(1)
+    # r11: JVM-literal frames (io.local_df) — the createDataFrame+coalesce
+    # pair was Python-RDD-backed, and the cross join re-evaluated the inner
+    # Python partition per probe row: ~11 s in one task for 36 rows.
+    cfg = local_df(spark, _CONFIGS, "b int, r int")
+    sg = local_df(spark, [(s,) for s in _S_GRID], "s double")
     return cfg.crossJoin(sg).select(
         F.col("b").alias("bands"),
         F.col("r").alias("rows_per_band"),

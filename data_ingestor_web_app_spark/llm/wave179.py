@@ -110,22 +110,27 @@ def sim_random_projection_jl(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ei"),
     )
     zero = F.lit(0).cast("long")
+    # r11: ONE 16x64 literal sign matrix + transform instead of 16 separate
+    # folds each embedding its own 64-literal array — the duplicated tree
+    # made Catalyst planning the query's dominant cost (warm wall ~4-7 s,
+    # ~0.1 s of task time). Per-component arithmetic and fold order are
+    # unchanged, so every projection value is bit-equal.
+    signs_lit = F.array(
+        *[
+            F.array(*[F.lit(v).cast("long") for v in _SIGNS[k]])
+            for k in range(_D_OUT)
+        ]
+    )
     proj = e.select(
         "vec_id",
         "ei",
-        F.array(
-            *[
-                F.aggregate(
-                    F.zip_with(
-                        "ei",
-                        F.array(*[F.lit(v).cast("long") for v in _SIGNS[k]]),
-                        lambda x, s: x * s,
-                    ),
-                    zero,
-                    lambda acc, x: acc + x,
-                )
-                for k in range(_D_OUT)
-            ]
+        F.transform(
+            signs_lit,
+            lambda srow: F.aggregate(
+                F.zip_with("ei", srow, lambda x, s: x * s),
+                zero,
+                lambda acc, x: acc + x,
+            ),
         ).alias("pj"),
     )
     a = proj.select(
@@ -221,12 +226,19 @@ def sim_bucket_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy(load) over at most 2^planes rows — the audit costs one shuffle
     of bucket ids, nothing pairwise."""
     emb = table(spark, sf_dir, "embeddings")
-    planes = hyperplanes()[:_N_AUDIT_PLANES]
+    # r11: projections from the shared one-literal plane matrix
+    # (micro_dots_all; first _N_AUDIT_PLANES entries are exactly the old
+    # per-plane folds) — same planning-cost fix as sim_ann_lsh.
+    from data_ingestor_web_app_spark.llm.vector_common import micro_dots_all
+
+    pd_base = emb.select(micro_dots_all("embedding").alias("pd"))
     bucket = None
-    for p, pv in enumerate(planes):
-        bit = F.when(plane_micro_dot(F.col("embedding"), pv) > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    for p in range(_N_AUDIT_PLANES):
+        bit = F.when(F.element_at(F.col("pd"), p + 1) > 0, F.lit(1 << p)).otherwise(
+            F.lit(0)
+        )
         bucket = bit if bucket is None else bucket + bit
-    bits = emb.select(bucket.cast("long").alias("bucket"))
+    bits = pd_base.select(bucket.cast("long").alias("bucket"))
     total = bits.agg(F.count("*").cast("long").alias("n"))  # 1-row scalar attach
     loads = bits.groupBy("bucket").agg(F.count("*").cast("long").alias("load"))
     return (

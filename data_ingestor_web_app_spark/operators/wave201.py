@@ -59,13 +59,17 @@ def _bucket3_ctes() -> str:
 
 def _spark_contingency(spark: SparkSession, sf_dir: str):
     emb = table(spark, sf_dir, "embeddings")
-    planes = hyperplanes()
+    # r11: projections via the shared one-literal plane matrix
+    # (vector_common.micro_dots_all; entries 1.._NPL are bit-equal to the
+    # old per-plane folds) — same Catalyst planning-cost fix as sim_ann_lsh.
+    from data_ingestor_web_app_spark.llm.vector_common import micro_dots_all
+
+    pd_base = emb.select("label", micro_dots_all("embedding").alias("pd"))
     bucket = sum(
-        F.when(plane_micro_dot(F.col("embedding"), planes[p]) > 0, 1 << p)
-        .otherwise(0)
+        F.when(F.element_at(F.col("pd"), p + 1) > 0, 1 << p).otherwise(0)
         for p in range(_NPL)
     )
-    asg = emb.select(
+    asg = pd_base.select(
         F.col("label").alias("u"), bucket.cast("long").alias("v")
     )
     cont = asg.groupBy("u", "v").agg(F.count("*").cast("long").alias("nij"))

@@ -151,31 +151,44 @@ def opt_wagner_whitin(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cache()
     )
-    # DP fold: each round materializes exactly TWO scalars (f_t, j*_t).
-    # The collect is bounded by the planning horizon (T = 12 calendar
-    # months — never data-sized); feeding the f-table back as literals
-    # keeps every round's plan flat instead of 2^T lineage growth.
-    ftab = [(0, 0)]  # (t, f)
-    res_list = []
-    for i in range(1, _T + 1):
-        fp = spark.createDataFrame(ftab, "pt long, pf long")
-        cands = cost.where(F.col("t") == i).join(
-            F.broadcast(fp), F.col("pt") == F.col("j") - 1
+    # DP fold (r11): the recursion used to run as a 12-round DRIVER loop
+    # (createDataFrame + two .first() actions per round = 24 tiny jobs,
+    # each paying full job-submission + planning latency — measured
+    # 10-12 s at sf0.01 for microseconds of arithmetic). The horizon is
+    # T = 12, so the whole Wagner-Whitin recursion is now ONE SQL fold
+    # over the collected <= T*(T+1)/2-row cost table: f is a 1-indexed
+    # array (element_at(f, j) = f(j-1)); per period, f_t = min over j<=t
+    # of f(j-1)+c(j,t) and j* = the smallest j attaining it — identical
+    # integer arithmetic and tie-break, one job instead of 24.
+    carr = cost.agg(F.collect_list(F.struct("t", "j", "c")).alias("cs"))
+    farr = F.expr(
+        f"""
+        aggregate(sequence(1, {_T}), array(0L),
+          (f, i) -> concat(f, array(
+              array_min(transform(filter(cs, x -> x.t = i),
+                                  x -> element_at(f, int(x.j)) + x.c)))))
+        """
+    )
+    res = (
+        carr.select(farr.alias("farr"), "cs")
+        .select(
+            F.explode(
+                F.expr(
+                    f"""
+            transform(sequence(1, {_T}), i -> named_struct(
+              't', cast(i as bigint),
+              'f', element_at(farr, i + 1),
+              'js', array_min(transform(
+                      filter(cs, x -> x.t = i
+                             and element_at(farr, int(x.j)) + x.c
+                                 = element_at(farr, i + 1)),
+                      x -> x.j))))
+            """
+                )
+            ).alias("r")
         )
-        fv = int(
-            cands.agg(
-                F.min(F.col("pf") + F.col("c")).cast("long").alias("f")
-            ).first()["f"]
-        )
-        jv = int(
-            cands.where(F.col("pf") + F.col("c") == fv)
-            .agg(F.min("j").cast("long").alias("js"))
-            .first()["js"]
-        )
-        assert len(ftab) <= _T + 1  # horizon-bounded driver fold
-        ftab.append((i, fv))
-        res_list.append((i, fv, jv))
-    res = spark.createDataFrame(res_list, "t long, f long, js long")
+        .select(F.col("r.t").alias("t"), F.col("r.f").alias("f"), F.col("r.js").alias("js"))
+    )
     return (
         dem.join(res, "t")
         .select(

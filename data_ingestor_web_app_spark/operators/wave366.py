@@ -141,12 +141,17 @@ def model_plackett_luce(spark: SparkSession, sf_dir: str) -> DataFrame:
     sets = pos.join(
         F.broadcast(stages),
         (F.col("p") >= F.col("st")) & (F.col("st") < F.col("m")),
-    ).select("day", "st", "i").cache()  # lazy marker: reused 2x/iteration
+    ).select("day", "st", "i").localCheckpoint(eager=True)
+    # ^ r11: materialized (wave124 idiom), not just cached — it is
+    # referenced twice per MM iteration, and the cached-but-unchecked
+    # lineage re-expanded its subtree in every iteration's logical plan
+    # (~16 copies after 8 iterations): Catalyst analysis, not execution,
+    # was the wall (6-9 s warm at sf0.01 for ~420-row frames).
     wins = pos.groupBy("i").agg(
         F.sum(F.when(F.col("p") < F.col("m"), 1).otherwise(0))
         .cast("long")
         .alias("w")
-    ).cache()  # lazy marker: reused every iteration
+    ).localCheckpoint(eager=True)  # r11: same truncation as `sets`
     g = wins.select("i", F.lit(_G0).cast("long").alias("g_nano"))
     for _ in range(_T):
         den = (
@@ -183,7 +188,7 @@ def model_plackett_luce(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(
                 "greatest((gr * 1000000000L) div sum(gr) over (), 1L)"
             ).alias("g_nano"),
-        )
+        ).localCheckpoint(eager=True)  # r11: constant-size plan per iteration
     return (
         g.join(F.broadcast(wins), "i")
         .crossJoin(F.broadcast(names))
