@@ -182,26 +182,44 @@ def compress_aged_partitions(
     jvm = spark._jvm
     jpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    compressed = []
+    aged = []
     for status in fs.listStatus(jpath):
         name = status.getPath().getName()
         if status.isDirectory() and name.startswith(column + "="):
             value = name.split("=", 1)[1]
             if value < cutoff:
-                part_dir = os.path.join(path, name)
-                tmp_dir = os.path.join(path, "." + name + ".zstd_rewrite")
-                (
-                    spark.read.parquet(part_dir)
-                    .write.mode("overwrite")
-                    .option("compression", codec)
-                    .parquet(tmp_dir)
-                )
-                fs.delete(status.getPath(), True)
-                fs.rename(
-                    jvm.org.apache.hadoop.fs.Path(tmp_dir),
-                    jvm.org.apache.hadoop.fs.Path(part_dir),
-                )
-                compressed.append(value)
+                aged.append((value, name, status.getPath()))
+
+    def _rewrite(entry):
+        value, name, old_path = entry
+        part_dir = os.path.join(path, name)
+        tmp_dir = os.path.join(path, "." + name + ".zstd_rewrite")
+        (
+            spark.read.parquet(part_dir)
+            .write.mode("overwrite")
+            .option("compression", codec)
+            .parquet(tmp_dir)
+        )
+        fs.delete(old_path, True)
+        fs.rename(
+            jvm.org.apache.hadoop.fs.Path(tmp_dir),
+            jvm.org.apache.hadoop.fs.Path(part_dir),
+        )
+        return value
+
+    # r11 (guide §2.6): each partition rewrite is an independent
+    # read+write job on a distinct directory; running them strictly
+    # serially left the cluster idle during every job's tail (~26
+    # single-partition jobs at sf0.01 ≈ 8 s of mostly scheduling). A
+    # small driver-side pool overlaps them — per-partition atomicity
+    # (write fresh dir → delete old → rename) is unchanged because each
+    # worker touches only its own partition directory.
+    from concurrent.futures import ThreadPoolExecutor
+
+    if not aged:
+        return []
+    with ThreadPoolExecutor(max_workers=min(8, len(aged))) as pool:
+        compressed = list(pool.map(_rewrite, aged))
     return sorted(compressed)
 
 
