@@ -116,12 +116,26 @@ def prefix_filtered_pairs(toksets: DataFrame, tau: float) -> tuple[DataFrame, Da
         exploded.join(F.broadcast(freq), "tok")
         .withColumn("pos", F.row_number().over(w))
         .where(F.col("pos") <= prefix_len)
-        .select("doc_id", "tok")
+        .select("doc_id", "n_toks", "tok")
     )
     a = prefixes.alias("a")
     b = prefixes.alias("b")
+    # r11: PPJoin length filter — J >= tau needs (100+tau100)*min(|A|,|B|)
+    # >= tau100*(|A|+|B|) since |A∩B| <= min(|A|,|B|); evaluated on the
+    # one-int n_toks columns inside the prefix join so size-mismatched
+    # pairs never reach the distinct or the array_intersect verify.
+    # Lossless: it is a necessary condition of the verify predicate.
+    tau100 = int(round(tau * 100))
     candidates = (
-        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (
+                (100 + tau100) * F.least(F.col("a.n_toks"), F.col("b.n_toks"))
+                >= tau100 * (F.col("a.n_toks") + F.col("b.n_toks"))
+            ),
+        )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
@@ -132,7 +146,6 @@ def prefix_filtered_pairs(toksets: DataFrame, tau: float) -> tuple[DataFrame, Da
     # r11: single-reference exact integer threshold (see dedup_minhash_lsh)
     # so array_intersect runs once per candidate, not twice; tau is a
     # 2-decimal threshold so 100*tau is exact.
-    tau100 = int(round(tau * 100))
     pass_tau = ((100 + tau100) * inter) >= (
         tau100 * (F.size("toks_a") + F.size("toks_b"))
     )
@@ -223,9 +236,10 @@ def _minhash_signatures(d: DataFrame) -> DataFrame:
     )
 
 
-def _minhash_from_tokens(d: DataFrame, key: str) -> DataFrame:
+def _minhash_from_tokens(d: DataFrame, key: str, keep: tuple = ()) -> DataFrame:
     """Same single-pass fold as _minhash_signatures, over a pre-built token
-    array column `toks`, keyed by an arbitrary `key` column."""
+    array column `toks`, keyed by an arbitrary `key` column. `keep` names
+    extra (cheap) columns to carry through alongside the signature."""
     fold = f"""
     aggregate(
       toks,
@@ -236,8 +250,8 @@ def _minhash_from_tokens(d: DataFrame, key: str) -> DataFrame:
                            (a, h) -> least(a, h))
     )
     """
-    return d.select(key, F.expr(fold).alias("__mh")).select(
-        key, *[F.col("__mh")[i].alias(f"mh{i}") for i in range(_N_HASHES)]
+    return d.select(key, *keep, F.expr(fold).alias("__mh")).select(
+        key, *keep, *[F.col("__mh")[i].alias(f"mh{i}") for i in range(_N_HASHES)]
     )
 
 
@@ -301,8 +315,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # materialize signatures once — the band self-join would otherwise
     # recompute the 64-hash fold for BOTH sides (at scale: write
-    # signatures to a table, same reasoning)
-    sig = _minhash_from_tokens(reps.select("tset", "toks"), key="tset").cache()
+    # signatures to a table, same reasoning). `sz` (token-set size, one
+    # int) rides along for the size pre-filter below.
+    sig = _minhash_from_tokens(
+        reps.select("tset", "toks", F.size("toks").alias("sz")),
+        key="tset",
+        keep=("sz",),
+    ).cache()
     rows_per_band = _N_HASHES // _N_BANDS
     barr = F.array(
         *[
@@ -311,9 +330,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     band_rows = (
-        sig.select("tset", barr.alias("barr"))
+        sig.select("tset", "sz", barr.alias("barr"))
         .select(
             "tset",
+            "sz",
             "barr",
             F.posexplode("barr").alias("band", "bucket"),
         )
@@ -346,6 +366,18 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .where(no_earlier_band_agrees)
+        # r11 size pre-filter (guide §8: decide with small rows before
+        # moving big ones): Jaccard >= 0.9 requires
+        # 19*min(|A|,|B|) >= 9*(|A|+|B|) because |A∩B| <= min(|A|,|B|) —
+        # a pure-int necessary condition of the verify predicate below,
+        # evaluated HERE on the one-int `sz` columns so pairs whose sizes
+        # differ >~11% never reach the token-array joins or the
+        # array_intersect (prunes most of the 1.55M raw candidates at
+        # sf0.1; result set provably unchanged).
+        .where(
+            19 * F.least(F.col("a.sz"), F.col("b.sz"))
+            >= 9 * (F.col("a.sz") + F.col("b.sz"))
+        )
         .select(F.col("a.tset").alias("set_a"), F.col("b.tset").alias("set_b"))
     )
     # exact verification on representative pairs only. r11: the threshold

@@ -171,9 +171,9 @@ def dedup_minhash_lsh_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             for b in range(_N_BANDS)
         ]
     )
-    band_rows = sig.select("tset", barr.alias("barr")).select(
-        "tset", "barr", F.posexplode("barr").alias("band", "bsig")
-    )
+    band_rows = sig.select(
+        "tset", F.size("toks").alias("sz"), barr.alias("barr")
+    ).select("tset", "sz", "barr", F.posexplode("barr").alias("band", "bsig"))
     a, b = band_rows.alias("a"), band_rows.alias("b")
     # r11: first-agreeing-band emission (same device as dedup_minhash_lsh —
     # the (band, bsig) equi-key implies agreement AT `band`, the residual
@@ -194,6 +194,15 @@ def dedup_minhash_lsh_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.tset") < F.col("b.tset")),
         )
         .where(no_earlier_band_agrees)
+        # r11 size pre-filter (see dedup_minhash_lsh): |A∩B| <= min(|A|,|B|)
+        # makes 19*min(sz) >= 9*(sz_a+sz_b) a necessary condition of the
+        # Jaccard >= 0.9 verify below — one-int comparison here spares the
+        # token-array joins + array_intersect for size-mismatched pairs;
+        # survivor set provably unchanged.
+        .where(
+            19 * F.least(F.col("a.sz"), F.col("b.sz"))
+            >= 9 * (F.col("a.sz") + F.col("b.sz"))
+        )
         .select(F.col("a.tset").alias("set_a"), F.col("b.tset").alias("set_b"))
     )
     ra = sig.select(F.col("tset").alias("set_a"), F.col("toks").alias("toks_a"))

@@ -281,7 +281,11 @@ def events_hazard_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     over an Aggregate frame, and the per-band counts are weighted sums
     over the distinct-gap frame against broadcast edges."""
     e = table(spark, sf_dir, "events")
-    dts = e.groupBy("ts").agg(F.count("*").cast("long").alias("c"))
+    # r11: cached — BOTH the diff window and the zero-gap aggregate read
+    # this frame; uncached, the events scan + 100k-row groupBy shuffle ran
+    # twice (ts is near-unique in event data, so this frame is corpus-sized
+    # and the duplicate pass is a full extra shuffle).
+    dts = e.groupBy("ts").agg(F.count("*").cast("long").alias("c")).cache()
     wd = Window.orderBy("ts")
     diffs = dts.select(
         (
@@ -309,13 +313,18 @@ def events_hazard_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         # DISTINCT gap value)
     )
     wg = Window.orderBy("g")
+    # r11: `n` as a broadcast scalar instead of an unpartitioned
+    # sum().over(Window.partitionBy()) — that spec shares nothing with wg,
+    # so Spark ran a SECOND single-task WindowExec pass over the whole
+    # distinct-gap frame just to attach a constant. below/upto share ONE
+    # pass (same window spec).
+    n_row = gw.agg(F.sum("w").cast("long").alias("n"))
     cum = gw.select(
         "g",
         "w",
         (F.sum("w").over(wg) - F.col("w")).alias("below"),
         F.sum("w").over(wg).alias("upto"),
-        F.sum("w").over(Window.partitionBy()).alias("n"),
-    )
+    ).crossJoin(F.broadcast(n_row))
     # decile edges: percentile_disc(q) = value at rank max(1, ceil(n*q)),
     # selected as the distinct gap whose cumulative weight range covers it
     edges = cum.agg(
@@ -367,14 +376,17 @@ def events_hazard_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             for q in range(0, 10)
         ],
     )
-    # one row; cached because the 10 per-decile branches below each read it
-    base = counts.crossJoin(F.broadcast(edges)).cache()
-    rows = []
+    # r11: the 10 decile rows come out of the ONE-row frame via a single
+    # explode(array(struct...)) projection — the old 10-branch unionAll of
+    # 1-row selects planned and launched 10 subtrees (plus a cache to share
+    # the base row); per-decile expressions are unchanged.
+    base = counts.crossJoin(F.broadcast(edges))
+    deciles = []
     for q in range(0, 10):
         lo = F.col(f"e{q}")
         hi = F.col(f"e{q + 1}") if q < 9 else F.col("gmax")
-        rows.append(
-            base.select(
+        deciles.append(
+            F.struct(
                 F.lit(q).cast("long").alias("decile"),
                 F.round(lo, 6).alias("lo_s"),
                 F.round(hi, 6).alias("hi_s"),
@@ -388,7 +400,5 @@ def events_hazard_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("hazard_per_s"),
             )
         )
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionAll(r)
+    out = base.select(F.explode(F.array(*deciles)).alias("d")).select("d.*")
     return out.orderBy("decile")

@@ -176,33 +176,56 @@ def agg_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_quantity").cast("long").alias("q"),
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("p"),
     )
-    pairs = vals.groupBy("q", "p").agg(F.count("*").cast("long").alias("k"))
-    qs = pairs.groupBy("q").agg(F.sum("k").cast("long").alias("kq"))
+    # r11 moment decomposition (guide §2.3/§2.4): rx depends only on q and
+    # ry only on p, so every moment collapses onto the marginal frames —
+    #   sx  = Σ_q kq·rx        sxx = Σ_q kq·rx²      (50-row q frame)
+    #   sy  = Σ_p kp·ry        syy = Σ_p kp·ry²      (distinct-p frame)
+    #   sxy = Σ_p ry·(Σ rows at p of rx) = Σ_p bp·ry
+    # The old plan built a groupBy(q,p) pairs frame (~|corpus| rows: p is
+    # near-unique) and sort-merge-joined both rank maps back onto it; now
+    # the only corpus-wide shuffle is ONE partial-aggregated groupBy(p)
+    # (kp, bp), with rx attached by a 50-row broadcast join. Integer/
+    # decimal sums are identical term-reorderings of the same products, so
+    # the final doubles are bit-equal.
+    qs = vals.groupBy("q").agg(F.count("*").cast("long").alias("kq"))
     wq = Window.orderBy("q")
     rxs = qs.select(
         "q",
+        "kq",
         (2 * (F.sum("kq").over(wq) - F.col("kq")) + F.col("kq") + 1)
         .cast("long")
         .alias("rx"),
     )
-    ps = pairs.groupBy("p").agg(F.sum("k").cast("long").alias("kp"))
+    kqd = F.col("kq").cast("decimal(38,0)")
+    mq = rxs.agg(
+        F.sum("kq").cast("long").alias("n"),
+        F.sum(F.col("kq") * F.col("rx")).cast("long").alias("sx"),
+        F.sum(kqd * F.col("rx") * F.col("rx")).cast("double").alias("sxx"),
+    )
+    ps = (
+        vals.join(F.broadcast(rxs.select("q", "rx")), "q")
+        .groupBy("p")
+        .agg(
+            F.count("*").cast("long").alias("kp"),
+            F.sum("rx").cast("long").alias("bp"),
+        )
+    )
     wp = Window.orderBy("p")
     rys = ps.select(
-        "p",
+        "kp",
+        "bp",
         (2 * (F.sum("kp").over(wp) - F.col("kp")) + F.col("kp") + 1)
         .cast("long")
         .alias("ry"),
     )
-    joined = pairs.join(rxs, "q").join(rys, "p")
-    kd = F.col("k").cast("decimal(38,0)")
-    m = joined.agg(
-        F.sum("k").cast("long").alias("n"),
-        F.sum(F.col("k") * F.col("rx")).cast("long").alias("sx"),
-        F.sum(F.col("k") * F.col("ry")).cast("long").alias("sy"),
-        F.sum(kd * F.col("rx") * F.col("rx")).cast("double").alias("sxx"),
-        F.sum(kd * F.col("ry") * F.col("ry")).cast("double").alias("syy"),
-        F.sum(kd * F.col("rx") * F.col("ry")).cast("double").alias("sxy"),
+    kpd = F.col("kp").cast("decimal(38,0)")
+    bpd = F.col("bp").cast("decimal(38,0)")
+    mp = rys.agg(
+        F.sum(F.col("kp") * F.col("ry")).cast("long").alias("sy"),
+        F.sum(kpd * F.col("ry") * F.col("ry")).cast("double").alias("syy"),
+        F.sum(bpd * F.col("ry")).cast("double").alias("sxy"),
     )
+    m = mq.crossJoin(F.broadcast(mp))
     num = F.col("sxy") - F.col("sx").cast("double") * F.col("sy") / F.col("n")
     den = F.sqrt(
         (F.col("sxx") - F.col("sx").cast("double") * F.col("sx") / F.col("n"))
