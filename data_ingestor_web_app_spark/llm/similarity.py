@@ -324,7 +324,10 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-checked against the analytic oracle — not just rows-counted.
     Recall vs the exact sim_cosine_topk is measured in pytest."""
     e = table(spark, sf_dir, "embeddings")
-    cent = _centroids(e)
+    # r11 lineage truncation (wave124 idiom): cdots below is referenced by
+    # BOTH assign and probe, each reference re-expanding the K-row codebook
+    # subtree during analysis; checkpointing K rows is free.
+    cent = _centroids(e).localCheckpoint(eager=True)
     # r11 (guide §2.4): per-row sorted centroid-dot array against the
     # broadcast codebook row replaces the old crossJoin-K + row_number()
     # windows — two full N*K corpus shuffles (assign rk=1, probe rk<=2)

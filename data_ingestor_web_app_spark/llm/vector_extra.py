@@ -101,30 +101,105 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.join(d, e.vec_id == d.doc_id)
         .select("doc_id", "embedding", _norm(F.col("embedding")).alias("nrm"))
     )
-    cent = _label_means(e)
+    # r11 lineage truncation (wave124 idiom): the K-row codebook is
+    # referenced through _codebook_row by BOTH sides of the candidate
+    # self-join — untruncated, Catalyst re-analyzes the posexplode +
+    # double-groupBy subtree per reference; checkpointing K rows is free.
+    cent = _label_means(e).localCheckpoint(eager=True)
     # r11 (guide §2.4): per-row fold argmax against the broadcast codebook
     # row — drops the crossJoin-K + vec_id window (an N*K corpus shuffle)
     # AND the join back onto `base` that re-attached the embedding the
     # window path had to drop. Same (6dp dot DESC, c_label ASC) rule.
     blocked = base.crossJoin(_codebook_row(cent)).select(
-        "doc_id", "embedding", "nrm",
+        "doc_id", "embedding",
         _best_centroid("embedding")["c_label"].alias("c_label"),
     )
-    a = blocked.select(
-        F.col("doc_id").alias("doc_a"), F.col("embedding").alias("ea"),
-        F.col("nrm").alias("na"), "c_label",
+    # r11 (guide §4.2, the sim_knn_graph pattern): per-pair verification is
+    # a block-pair numpy GEMM per centroid bucket instead of a bucket
+    # self-join + an interpreted zip_with/aggregate dot per pair — the fold
+    # evaluated ~200k pairs x 64 elementwise lambdas (measured ~1.5 s of
+    # the 2.4 s verify wall at sf0.1) where one matmul per block pair is
+    # milliseconds. Shuffle is 2·B embedding copies per corpus row (B
+    # small) instead of the bucket self-join's quadratic joined-row
+    # materialization, and no task holds more than a (bucket/B)^2 tile.
+    # Cosines are float64 rounded to 6dp before emission — the same
+    # discipline the knn-graph GEMM already hash-verifies against the
+    # DuckDB oracle (both engines' sums are unordered; 6dp absorbs
+    # last-ulp association differences).
+    return _bucket_pair_cosines(spark, blocked, threshold=0.35)
+
+
+def _bucket_pair_cosines(
+    spark: SparkSession, blocked: DataFrame, threshold: float
+) -> DataFrame:
+    """All within-bucket pairs (doc_a < doc_b) with raw cosine >= threshold,
+    via the sim_knn_graph block-pair GEMM: rows hash into B sub-blocks per
+    bucket, every row fans out to its (q-role, c-role) block pairs, one
+    numpy matmul per (bucket, qb, cb) group emits the surviving pairs.
+    Each unordered pair appears in exactly ONE group as (q < c), so the
+    in-kernel doc_a < doc_b mask is also the global dedup. B is derived
+    from defaultParallelism (scale-adaptive), not a local constant."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    par = spark.sparkContext.defaultParallelism
+    # enough (bucket, qb, cb) tasks to feed the cluster even when a few
+    # buckets dominate; the knn-graph 64 cap bounds replication
+    n_blocks = max(1, min(64, int(-(-((2 * par) ** 0.5) // 1))))
+    blk = (F.col("doc_id") % n_blocks).cast("int")
+    tags = F.array(*[F.lit(i) for i in range(n_blocks)])
+    qx = blocked.select(
+        "c_label", blk.alias("qb"), F.explode(tags).alias("cb"),
+        F.col("doc_id").alias("id"), F.col("embedding").alias("v"),
+        F.lit("q").alias("role"),
     )
-    b = blocked.select(
-        F.col("doc_id").alias("doc_b"), F.col("embedding").alias("eb"),
-        F.col("nrm").alias("nb"), "c_label",
+    cx = blocked.select(
+        "c_label", F.explode(tags).alias("qb"), blk.alias("cb"),
+        F.col("doc_id").alias("id"), F.col("embedding").alias("v"),
+        F.lit("c").alias("role"),
     )
-    raw_cos = _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
-    return (
-        a.join(b, ["c_label"])
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .withColumn("raw_cos", raw_cos)
-        .where(F.col("raw_cos") >= 0.35)
-        .select("doc_a", "doc_b", F.round("raw_cos", 6).alias("cosine"))
+    both = qx.unionByName(cx)
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_a", T.LongType()),
+            T.StructField("doc_b", T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+    empty = pd.DataFrame({"doc_a": [], "doc_b": [], "cosine": []}).astype(
+        {"doc_a": "int64", "doc_b": "int64", "cosine": "float64"}
+    )
+
+    def pair_kernel(pdf):
+        qs = pdf[pdf["role"] == "q"]
+        cs = pdf[pdf["role"] == "c"]
+        if qs.empty or cs.empty:
+            return empty
+        q = np.stack(qs["v"].to_numpy()).astype(np.float64)
+        c = np.stack(cs["v"].to_numpy()).astype(np.float64)
+        qids = qs["id"].to_numpy(dtype=np.int64)
+        cids = cs["id"].to_numpy(dtype=np.int64)
+        qn = np.sqrt((q * q).sum(axis=1))
+        cn = np.sqrt((c * c).sum(axis=1))
+        raw = (q @ c.T) / np.outer(qn, cn)
+        # doc_a < doc_b both dedups (each unordered pair is q<c in exactly
+        # one group) and excludes self; threshold applies to the RAW
+        # cosine, as in the join formulation
+        keep = (qids[:, None] < cids[None, :]) & (raw >= threshold)
+        qi, ci = np.nonzero(keep)
+        if qi.size == 0:
+            return empty
+        return pd.DataFrame(
+            {
+                "doc_a": qids[qi],
+                "doc_b": cids[ci],
+                "cosine": np.round(raw[qi, ci], 6),
+            }
+        )
+
+    return both.groupBy("c_label", "qb", "cb").applyInPandas(
+        pair_kernel, schema=out_schema
     )
 
 
@@ -210,11 +285,19 @@ def sim_kmeans_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     reproducible bit-exactly in the DuckDB oracle (driver hash check), which
     is how the operator is verified without a clustering-quality proxy."""
     e = table(spark, sf_dir, "embeddings")
-    cent = _label_means(e)
+    # r11 lineage truncation (wave124 idiom): each Lloyd iteration's plan
+    # otherwise embeds the previous iteration's WHOLE subtree at every
+    # codebook reference (assignment + mean recompute + member count), so
+    # analysis cost grows multiplicatively with unrolled iterations — the
+    # sim_sinkhorn_ot lesson. The codebook is K x dim (tiny); eagerly
+    # checkpointing it between iterations truncates the plan while the
+    # corpus-side dataflow (scan, per-row argmax, partial-agg means) is
+    # unchanged.
+    cent = _label_means(e).localCheckpoint(eager=True)
     for _ in range(2):
         assigned = _assign_nearest(e, cent)
         ue = assigned.select("c_label", F.posexplode("embedding").alias("i", "x"))
-        cent = _means_from(ue)
+        cent = _means_from(ue).localCheckpoint(eager=True)
         last_assigned = assigned
     members = last_assigned.groupBy("c_label").agg(F.count("*").alias("n_members"))
     return (

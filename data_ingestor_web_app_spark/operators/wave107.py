@@ -73,8 +73,14 @@ def model_kde_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias(f"k_{i}")
         )
     piv = x.agg(*aggs)
-    rows = [
-        piv.select(
+    # r11: emit the 21 grid rows from the ONE-row aggregate via a single
+    # explode(array(struct...)) projection — the old 21-branch unionByName
+    # embedded the whole 22-column aggregate subtree PER BRANCH, so the
+    # plan scanned and aggregated orders 21 times (and Catalyst analyzed
+    # ~21x22 aggregate expressions; measured 11.6 s warm at sf0.01 for a
+    # one-pass query). Per-point arithmetic is unchanged.
+    points = [
+        F.struct(
             F.lit(g).alias("grid_point"),
             F.round(
                 0.75 * F.col(f"k_{i}") / (F.col("n").cast("double") * _H * _H * _H) * 1e6,
@@ -83,10 +89,11 @@ def model_kde_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for i, g in enumerate(_GRID)
     ]
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
-    return out.orderBy("grid_point")
+    return (
+        piv.select(F.explode(F.array(*points)).alias("p"))
+        .select("p.*")
+        .orderBy("grid_point")
+    )
 
 
 @query(

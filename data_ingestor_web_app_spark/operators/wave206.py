@@ -88,25 +88,30 @@ def model_item_cf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition by focus item."""
     ratings = _ratings(spark, sf_dir)
     item_n = ratings.groupBy("it").agg(F.count("*").cast("long").alias("n"))
-    copairs = _copairs(ratings)
     focus = (
         item_n.orderBy(F.col("n").desc(), "it")
         .limit(_FOCUS)
         .select(F.col("it").alias("focus_item"))
     )
+    # r11 (guide §2.3/§3): generate only the DIRECTED (focus, other) co-rater
+    # pairs instead of aggregating the full item x item copairs frame and
+    # filtering it with an OR-condition join (a BroadcastNestedLoopJoin over
+    # every pair). The original OR join emitted one row per matching focus
+    # side — i.e. BOTH directions when two focus items co-occur — which is
+    # exactly one row per (focus rating, same-user other rating), so the
+    # directed groupBy below reproduces the identical neighbor/support set
+    # while the pair aggregation touches ~|focus raters| x basket rows, not
+    # every basket-squared pair in the corpus.
+    fr = ratings.join(
+        F.broadcast(focus), ratings.it == F.col("focus_item")
+    ).select("u", F.col("it").alias("fi"))
     nbrs = (
-        copairs.join(
-            F.broadcast(focus),
-            (F.col("i") == F.col("focus_item"))
-            | (F.col("j") == F.col("focus_item")),
+        fr.join(ratings.select("u", F.col("it").alias("oit")), "u")
+        .where(F.col("oit") != F.col("fi"))
+        .groupBy(
+            F.col("fi").alias("focus_item"), F.col("oit").alias("neighbor")
         )
-        .select(
-            "focus_item",
-            F.when(F.col("i") == F.col("focus_item"), F.col("j"))
-            .otherwise(F.col("i"))
-            .alias("neighbor"),
-            "support",
-        )
+        .agg(F.count("*").cast("long").alias("support"))
     )
     scored = (
         nbrs.join(

@@ -257,11 +257,16 @@ def model_km_greenwood(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"gw_{k}", gterm if prev_gw is None else F.col(prev_gw) + gterm
         )
         prev_s, prev_gw = f"s_{k}", f"gw_{k}"
-    rows = []
+    # r11: K day-rows from ONE explode(array(struct...)) over the 1-row
+    # pivot — the K-branch unionAll embedded the user rollup + pivot
+    # subtree per branch (K full re-executions + K-fold analysis; measured
+    # 10 s warm at sf0.01). Row order (day 1..K) and all per-day
+    # expressions are unchanged.
+    day_structs = []
     for k in range(1, _KM_K + 1):
         se = F.col(f"s_{k}") * F.sqrt(F.col(f"gw_{k}"))
-        rows.append(
-            s.select(
+        day_structs.append(
+            F.struct(
                 F.lit(k).cast("int").alias("day"),
                 F.col(f"r_{k}").alias("at_risk"),
                 F.col(f"d_{k}").alias("converted"),
@@ -278,7 +283,4 @@ def model_km_greenwood(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("ci_hi"),
             )
         )
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionAll(r)
-    return out
+    return s.select(F.explode(F.array(*day_structs)).alias("r")).select("r.*")

@@ -168,11 +168,15 @@ def model_item_analysis_kr20(
             for k in range(1, 6)
         ],
     )
-    rows = []
+    # r11: the 5 item rows come from ONE explode(array(struct...)) over the
+    # single-row moment frame — the old 5-branch unionAll embedded the
+    # user rollup + moment aggregate subtree per branch, so the whole
+    # upstream ran 5x (and was analyzed 5x). Per-item expressions unchanged.
+    item_structs = []
     for k in range(1, 6):
         p, c = F.col(f"p{k}"), F.col(f"c{k}")
-        rows.append(
-            base.select(
+        item_structs.append(
+            F.struct(
                 F.lit(k).cast("int").alias("item"),
                 F.col("n").alias("n_subjects"),
                 F.round(p, 6).alias("difficulty"),
@@ -188,10 +192,11 @@ def model_item_analysis_kr20(
                 F.round("kr20", 6).alias("kr20"),
             )
         )
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionAll(r)
-    return out.orderBy("item")
+    return (
+        base.select(F.explode(F.array(*item_structs)).alias("r"))
+        .select("r.*")
+        .orderBy("item")
+    )
 
 
 @query(

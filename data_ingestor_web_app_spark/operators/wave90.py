@@ -96,25 +96,29 @@ def events_erlang_c_staffing(spark: SparkSession, sf_dir: str) -> DataFrame:
     for k in range(1, _MAX_C):
         chain = chain.withColumn(f"t{k}", F.col(f"t{k - 1}") * F.col("a") / k)
         chain = chain.withColumn(f"s{k}", F.col(f"s{k - 1}") + F.col(f"t{k}"))
-    rows = []
+    # r11: the _MAX_C rows come from ONE explode(array(struct...)) over the
+    # 1-row Erlang chain — the old per-c unionByName re-executed the daily
+    # rollup + chain per branch. Per-c expressions unchanged.
+    c_structs = []
     for c in range(1, _MAX_C + 1):
         tc = F.col(f"t{c - 1}") * F.col("a") / c
         erlang = (tc * c / (c - F.col("a"))) / (
             F.col(f"s{c - 1}") + tc * c / (c - F.col("a"))
         )
         p_wait = F.when(F.col("a") >= c, F.lit(1.0)).otherwise(erlang)
-        rows.append(
-            chain.select(
+        c_structs.append(
+            F.struct(
                 F.lit(c).alias("c"),
                 F.round(F.col("a"), 6).alias("offered_load"),
                 F.round(p_wait, 6).alias("p_wait"),
                 (p_wait < 0.2).alias("meets_sla"),
             )
         )
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
-    return out.orderBy("c")
+    return (
+        chain.select(F.explode(F.array(*c_structs)).alias("r"))
+        .select("r.*")
+        .orderBy("c")
+    )
 
 
 @query(

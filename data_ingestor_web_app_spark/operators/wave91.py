@@ -125,8 +125,11 @@ def events_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         expr = term if prev is None else F.col(f"s_{k - 1}") * term
         s = s.withColumn(f"s_{k}", expr)
         prev = True
-    rows = [
-        s.select(
+    # r11: K rows from ONE explode(array(struct...)) over the 1-row pivot —
+    # the K-branch union re-executed (and re-analyzed) the rollup + pivot
+    # subtree per branch. Per-step expressions unchanged.
+    steps = [
+        F.struct(
             F.lit(k).alias("k"),
             F.col(f"r_{k}").alias("at_risk"),
             F.col(f"d_{k}").alias("churned"),
@@ -134,10 +137,11 @@ def events_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for k in range(1, _KM_K + 1)
     ]
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
-    return out.orderBy("k")
+    return (
+        s.select(F.explode(F.array(*steps)).alias("r"))
+        .select("r.*")
+        .orderBy("k")
+    )
 
 
 @query(
