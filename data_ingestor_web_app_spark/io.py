@@ -40,6 +40,15 @@ def scratch_dir(prefix: str = "scratch_") -> str:
     root = os.environ.get("SPARK_GRAFT_SCRATCH")
     if root:
         os.makedirs(root, exist_ok=True)
+    elif os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
+        # r11: streaming checkpoints/WALs fsync on every micro-batch commit;
+        # on a disk-backed system temp that fixed cost dominates short
+        # replays. Scratch artifacts are one-shot (fresh mkdtemp, never
+        # resumed across runs), so a tmpfs default is safe locally; real
+        # deployments point SPARK_GRAFT_SCRATCH (or the checkpoint conf) at
+        # durable storage.
+        root = "/dev/shm/spark_graft_scratch"
+        os.makedirs(root, exist_ok=True)
     return tempfile.mkdtemp(prefix=prefix, dir=root or None)
 
 

@@ -639,7 +639,17 @@ def sim_rerank_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", F.col("vec_id").alias("nid"), mcos.alias("mcos"))
     )
     w_q = Window.partitionBy("qid").orderBy(F.col("mcos").desc(), F.col("nid"))
-    cand = qcos.withColumn("rk", F.row_number().over(w_q)).where(F.col("rk") <= 10).drop("rk")
+    # r11 lineage truncation (wave124 idiom): cand is 10 rows per query but
+    # its subtree is a corpus x |q| broadcast join + a 10N-row ranking
+    # window; the greedy unroll references it (directly and via psims)
+    # ~10 times across the s1/s2/s3 branches, re-running that corpus pass
+    # per reference. Checkpointing the 100-row frame makes it one pass.
+    cand = (
+        qcos.withColumn("rk", F.row_number().over(w_q))
+        .where(F.col("rk") <= 10)
+        .drop("rk")
+        .localCheckpoint(eager=True)
+    )
     # candidate embeddings for the pairwise sim matrix (10 per query)
     cemb = cand.join(base, cand.nid == base.vec_id).select(
         "qid", "nid", "mcos", "embedding", "nrm"
@@ -651,6 +661,8 @@ def sim_rerank_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, ["qid"])
         .where(F.col("ca") != F.col("cb"))
         .select("qid", "ca", "cb", msim.alias("msim"))
+        # ~90 rows per query, referenced by s2 and twice by s3
+        .localCheckpoint(eager=True)
     )
     s1 = (
         cand.withColumn("rk", F.row_number().over(w_q))

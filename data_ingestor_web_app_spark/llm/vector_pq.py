@@ -105,12 +105,15 @@ def sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     partials. Top-10 compiles to TakeOrderedAndProject. Recall comes from
     the codebook, not the plan — pytest measures it against exact L2."""
     e = table(spark, sf_dir, "embeddings")
-    sv = _subvectors(e).cache()
-    # the codebook is 4 KB but its lineage is 2 Lloyd iterations deep and
-    # is consumed TWICE (corpus encoding + query LUT) — materialize it once
-    # (at scale: write the trained codebook to a table, same reasoning as
-    # the minhash signatures)
-    cent = _pq_codebook(sv).cache()
+    # r11: localCheckpoint instead of cache — sv is referenced ~6 times
+    # (2 Lloyd assign/update passes, corpus encoding, query row); cache()
+    # deduped execution but every reference still re-analyzed the
+    # posexplode subtree. At scale this is "materialize the subvector
+    # table once before training", the standard PQ layout.
+    sv = _subvectors(e).localCheckpoint(eager=True)
+    # the codebook comes back localCheckpoint-truncated from its 2 Lloyd
+    # iterations (4 KB leaf) — consumed by corpus encoding + query LUT
+    cent = _pq_codebook(sv)
     codes = _assign(sv, cent).select("vec_id", "s", "cid")
     # ADC lookup table for the query: distance from q's subvector to every
     # centroid of the matching subspace

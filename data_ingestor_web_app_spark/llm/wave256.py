@@ -125,8 +125,14 @@ def sim_kernel_herding(spark: SparkSession, sf_dir: str) -> DataFrame:
             " cast(0.0 as double), (acc, t) -> acc + t)"
         )
 
-    # state: 1-row frame carrying mu plus every chosen (vec_id_j, v_j)
-    state = mu
+    # state: 1-row frame carrying mu plus every chosen (vec_id_j, v_j).
+    # r11 lineage truncation (wave124 idiom): each per-step 1-row state is
+    # eagerly localCheckpointed — the final 3-branch union otherwise embeds
+    # step k's WHOLE chain prefix per branch (3 posexplode mu passes + 6
+    # corpus argmax scans instead of 1 + 3), and every crossJoin(state)
+    # re-expanded the prefix subtree during analysis. Values are untouched:
+    # the checkpoint materializes the same 1-row frame.
+    state = mu.localCheckpoint(eager=True)
     out_rows = []
     for step in range(1, _HERD_STEPS + 1):
         minus = "".join(
@@ -144,7 +150,7 @@ def sim_kernel_herding(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumnRenamed("v", f"v{step}")
             .withColumnRenamed("score", f"score{step}")
         )
-        state = top
+        state = top.localCheckpoint(eager=True)
         plus = " + ".join(
             f"element_at(v{j}, i + 1)" for j in range(1, step + 1)
         )

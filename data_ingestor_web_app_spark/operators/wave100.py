@@ -114,6 +114,13 @@ def agg_median_polish(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("cnt") % 2 == 1)
         .drop("cnt")
     )
+    # r11 lineage truncation (wave124 idiom): cell is the only corpus-sized
+    # work (orders x customer groupBy + median); every polish sweep
+    # references its input twice (the frame and its sweep median), so g4
+    # otherwise embeds the cell subtree ~2^5 times. Checkpointing the
+    # <=75-row grid (and each grid-sized sweep output below) makes the
+    # polish run on leaves. Values are unchanged — pure materialization.
+    cell = cell.localCheckpoint(eager=True)
     full_rows = cell.groupBy("n_name").agg(F.count("*").alias("k")).where(F.col("k") == 3)
     g = cell.join(full_rows.select("n_name"), "n_name")
 
@@ -139,13 +146,13 @@ def agg_median_polish(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = df.join(re, "n_name").select(
             "n_name", "st", (F.col("v") - F.col("re")).alias("v")
         )
-        return out, re
+        return out.localCheckpoint(eager=True), re
 
     def col_sweep(df):
         ce = lower_median(df, "st", "n_name", "ce")
         return df.join(ce, "st").select(
             "n_name", "st", (F.col("v") - F.col("ce")).alias("v")
-        )
+        ).localCheckpoint(eager=True)
 
     g1, r1 = row_sweep(g)
     g2 = col_sweep(g1)

@@ -217,22 +217,38 @@ def events_burst_kleinberg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = table(spark, sf_dir, "events").select(
         "event_type", "user_id", "event_id",
-        F.unix_millis("ts").alias("ts_ms"), "ts"
+        F.unix_millis("ts").alias("ts_ms"),
     )
-    empty = pd.DataFrame(
-        columns=["event_type", "n", "cost_micro", "nb"]
+    # r11 (guide §2.3/§4.1): the old groupBy().applyInPandas shipped every
+    # event row across the Python boundary and paid pandas group-machinery
+    # per (type, user) series; the gap series is now assembled JVM-side
+    # (sort_array(collect_list) + a transform diff — the same (ts_ms,
+    # event_id) ascending order the pandas sort used), so Python sees ONE
+    # row per series via mapInPandas, with the identical int64 gap values
+    # feeding the identical numpy cost chains and DP loop.
+    seqs = (
+        e.groupBy("event_type", "user_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("ts_ms", "event_id"))
+            ).alias("seq")
+        )
+        .where(F.size("seq") >= 2)
+        .select(
+            "event_type",
+            F.expr(
+                "transform(slice(seq, 2, size(seq) - 1),"
+                " (s, k) -> s.ts_ms - seq[k].ts_ms)"
+            ).alias("x"),
+        )
     )
 
-    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["ts_ms", "event_id"]).reset_index(drop=True)
-        ts = pdf["ts_ms"].to_numpy(np.int64)
-        if len(ts) < 2:
-            return empty
-        x = np.diff(ts)
+    def fold_series(x) -> tuple | None:
+        x = np.asarray(x, dtype=np.int64)
         n = int(len(x))
         tspan = int(x.sum())
         if tspan <= 0:
-            return empty
+            return None
         # per-gap costs in exact micro-nats (same chains as the oracle;
         # floor(v+0.5) = SQL ROUND's half-away for these positive costs —
         # np.rint would round half-even and flip exact-.5 boundaries)
@@ -249,17 +265,25 @@ def events_burst_kleinberg(spark: SparkSession, sf_dir: str) -> DataFrame:
             d0, d1 = nd0, nd1
             if d1 < d0:
                 nb += 1
-        return pd.DataFrame(
-            {
-                "event_type": [pdf["event_type"].iloc[0]],
-                "n": [n],
-                "cost_micro": [min(d0, d1)],
-                "nb": [nb],
-            }
-        )
+        return n, min(d0, d1), nb
 
-    per_series = e.groupBy("event_type", "user_id").applyInPandas(
-        fold, "event_type string, n long, cost_micro long, nb long"
+    def fold_batches(batches):
+        for pdf in batches:
+            out = {"event_type": [], "n": [], "cost_micro": [], "nb": []}
+            for et, xs in zip(pdf["event_type"], pdf["x"]):
+                r = fold_series(xs)
+                if r is None:
+                    continue
+                out["event_type"].append(et)
+                out["n"].append(r[0])
+                out["cost_micro"].append(r[1])
+                out["nb"].append(r[2])
+            yield pd.DataFrame(out).astype(
+                {"n": "int64", "cost_micro": "int64", "nb": "int64"}
+            )
+
+    per_series = seqs.mapInPandas(
+        fold_batches, "event_type string, n long, cost_micro long, nb long"
     )
     return per_series.groupBy("event_type").agg(
         F.count("*").cast("long").alias("n_series"),

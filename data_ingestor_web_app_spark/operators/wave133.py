@@ -343,7 +343,10 @@ def events_voptimal_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     p0 = pref.alias("p")
     v0 = pref.alias("v")
-    d_total = pre.agg(F.max("i").alias("d"))
+    # r11: max(i) over the checkpointed prefix frame (its extra i=0 row
+    # cannot win the max) — the old pre.agg re-ran the events scan + both
+    # unpartitioned windows a second time just to read the day count
+    d_total = pref.agg(F.max("i").alias("d"))
     levels = {}
     lvk = (
         v0.join(p0, (F.col("p.i") == 0) & (F.col("v.i") >= 1))

@@ -285,7 +285,15 @@ def dedup_family_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_ingestor_web_app_spark.llm.vector_extra import dedup_clusters
 
     docs = table(spark, sf_dir, "documents")
-    clusters = dedup_clusters(spark, sf_dir).select("doc_id", "cluster_rep")
+    # r11 lineage truncation (wave124 idiom): the cluster frame is read by
+    # BOTH the size histogram and the singleton anti-join; untruncated, each
+    # reference re-runs dedup_clusters' whole banded-LSH pipeline. The frame
+    # is only the near-dup docs (doc_id, cluster_rep) — tiny to materialize.
+    clusters = (
+        dedup_clusters(spark, sf_dir)
+        .select("doc_id", "cluster_rep")
+        .localCheckpoint(eager=True)
+    )
     fam = clusters.groupBy("cluster_rep").agg(
         F.count("*").cast("long").alias("family_size")
     )

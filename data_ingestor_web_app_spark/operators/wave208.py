@@ -117,10 +117,24 @@ def graph_ppr_unrolled(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("supp") >= 2)
         .select("u", "v")
     )
-    sym = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    deg = sym.groupBy("u").agg(F.count("*").cast("long").alias("d"))
-    seed = deg.orderBy(F.col("d").desc(), "u").limit(1).select(
-        F.col("u").alias("s")
+    # r11 lineage truncation (graph_bfs_layers idiom): sym/deg/seed are
+    # referenced by every unrolled round, each reference otherwise
+    # re-expanding (and risking re-execution of) the lineitem self-join
+    # edge build; the per-round mass frame is checkpointed below for the
+    # same reason. Integer arithmetic is unchanged by materialization.
+    sym = e.unionAll(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=True)
+    deg = (
+        sym.groupBy("u")
+        .agg(F.count("*").cast("long").alias("d"))
+        .localCheckpoint(eager=True)
+    )
+    seed = (
+        deg.orderBy(F.col("d").desc(), "u")
+        .limit(1)
+        .select(F.col("u").alias("s"))
+        .localCheckpoint(eager=True)
     )
     # total mass is bounded by _SCALE = 1e12, so every intermediate fits
     # comfortably in a plain BIGINT — no decimal needed
@@ -158,6 +172,7 @@ def graph_ppr_unrolled(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ).cast("long")
                 ).alias("m"),
             )
+            .localCheckpoint(eager=True)
         )
     top = p.orderBy(F.col("m").desc(), "u").limit(_TOPK)
     # bounded: rank window over the _TOPK survivors only

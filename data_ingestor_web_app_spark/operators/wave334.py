@@ -180,6 +180,11 @@ def text_huffman_code_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: ONE corpus-wide groupBy(event_type); all 4 merge
     rounds run on the k=5 cluster frame — alphabet-sized, never
     corpus-sized."""
+    # r11: the ONE corpus-wide pass is this groupBy — checkpoint it so no
+    # downstream reference can re-run it (cache() deduped execution but the
+    # logical plan still re-expanded per reference, so Catalyst re-analyzed
+    # the ladder each round and per output consumer — the plackett_luce
+    # lesson; the merge ladder runs on a 5-row frame either way).
     s = (
         table(spark, sf_dir, "events")
         .groupBy(F.col("event_type").alias("sym"))
@@ -187,14 +192,11 @@ def text_huffman_code_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "sym", "w", F.col("sym").alias("cl"), F.lit(0).alias("depth")
         )
+        .localCheckpoint(eager=True)
     )
     from pyspark.sql import Window
 
     for i in range(1, 5):
-        # s feeds both the rank frame and the rewrite join; cache the
-        # 5-row cluster frame so lineage doesn't double per round
-        # (2^4 re-evaluations of the corpus aggregate otherwise)
-        s = s.cache()
         c = s.groupBy("cl").agg(F.sum("w").alias("wc"))
         r = c.select(
             F.col("cl").alias("rcl"),
@@ -215,6 +217,9 @@ def text_huffman_code_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
                     + F.when(F.col("rk") <= 2, 1).otherwise(0)
                 ).alias("depth"),
             )
+            # 5-row frame; truncate per round (s feeds both the rank frame
+            # and the rewrite join, so lineage doubles per round otherwise)
+            .localCheckpoint(eager=True)
         )
     fin = s.select("sym", "w", F.col("depth").cast("long").alias("code_len"))
     tot = fin.agg(

@@ -80,23 +80,32 @@ def events_che_lru_hit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one (type,user) aggregate, then {_STEPS} chained
     partial-agg sums over the object frame (cached once) — each step
     is a map-side-combinable aggregate, no window, no pairs."""
+    # r11 (guide §2.4 + wave124 idiom): ONE keyed events pass now carries
+    # the per-group count AND the per-group unix_micros(min/max ts), so the
+    # global horizon is an aggregate over the checkpointed object frame
+    # (max of group maxes == global max) instead of a second corpus scan;
+    # lam's cache() deduped execution but every one of its 11 references
+    # (10 Newton steps + the final readout) still re-expanded the logical
+    # subtree through Catalyst — the checkpoint makes it a leaf. All values
+    # are the identical integers/doubles.
     obj = (
         table(spark, sf_dir, "events")
         .groupBy("event_type", "user_id")
-        .agg(F.count("*").cast("long").alias("c"))
+        .agg(
+            F.count("*").cast("long").alias("c"),
+            F.expr("unix_micros(min(ts))").alias("mn"),
+            F.expr("unix_micros(max(ts))").alias("mx"),
+        )
+        .localCheckpoint(eager=True)
     )
-    span = table(spark, sf_dir, "events").agg(
-        (
-            (
-                F.expr("unix_micros(max(ts))")
-                - F.expr("unix_micros(min(ts))")
-            ).cast("double")
-            / 1e6
-        ).alias("horizon")
+    span = obj.agg(
+        ((F.max("mx") - F.min("mn")).cast("double") / 1e6).alias("horizon")
     )
-    lam = obj.crossJoin(F.broadcast(span)).select(
-        (F.col("c") / F.col("horizon")).alias("l")
-    ).cache()
+    lam = (
+        obj.crossJoin(F.broadcast(span))
+        .select((F.col("c") / F.col("horizon")).alias("l"))
+        .localCheckpoint(eager=True)
+    )
     t = span.select(F.lit(_T0).cast("double").alias("t")).select("t")
     for _ in range(_STEPS):
         t = (

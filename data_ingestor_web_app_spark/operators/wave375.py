@@ -198,19 +198,33 @@ def model_head_tail_breaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     vals = table(spark, sf_dir, "documents").select(
         F.length("text").cast("long").alias("v")
     )
-    rows = []
+    # r11 lineage truncation (wave124 idiom) + pass reuse: round r's head
+    # count IS round r+1's row count (head_n = cnt of the filtered frame the
+    # next aggregate reads), so ONE extra 1-row aggregate replaces the four
+    # per-round count passes; eagerly checkpointing each 1-row (cnt, s)
+    # frame stops the final union re-executing every round's whole filter
+    # chain per branch (~20 progressively-filtered corpus passes -> 5).
+    # All emitted values are the same integers/doubles.
+    ms = []
     cur = vals
-    for r in range(1, _HT_ROUNDS + 1):
+    for _ in range(_HT_ROUNDS + 1):
         m = cur.agg(
             F.count("*").cast("long").alias("cnt"),
             F.sum("v").cast("long").alias("s"),
+        ).localCheckpoint(eager=True)
+        ms.append(m)
+        cur = (
+            cur.crossJoin(F.broadcast(m))
+            .where(F.col("v") * F.col("cnt") > F.col("s"))
+            .select("v")
         )
-        nxt = cur.crossJoin(F.broadcast(m)).where(
-            F.col("v") * F.col("cnt") > F.col("s")
-        )
-        hn = nxt.agg(F.count("*").cast("long").alias("head_n"))
+    rows = []
+    for r in range(1, _HT_ROUNDS + 1):
+        hn = ms[r].select(F.col("cnt").alias("head_n"))
         rows.append(
-            m.crossJoin(F.broadcast(hn)).select(
+            ms[r - 1]
+            .crossJoin(F.broadcast(hn))
+            .select(
                 F.lit(r).cast("int").alias("round"),
                 F.col("cnt").alias("n_values"),
                 F.round(F.col("s").cast("double") / F.col("cnt"), 4).alias(
@@ -222,7 +236,6 @@ def model_head_tail_breaks(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             )
         )
-        cur = nxt.select("v")
     out = rows[0]
     for fr in rows[1:]:
         out = out.unionAll(fr)

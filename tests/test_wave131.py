@@ -38,6 +38,16 @@ def test_kwic_contexts_match_documents(spark):
         assert r["right_ctx"] == " ".join(toks[p : p + 3])
 
 
+def test_kleinberg_gap_assembly_is_jvm_side(spark):
+    # r11: gap series are assembled with sort_array(collect_list) in the
+    # JVM and only one row per series crosses the Python boundary — the
+    # per-group pandas path (FlatMapGroupsInPandas) must stay gone
+    df = QUERIES["events_burst_kleinberg"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+    assert "FlatMapGroupsInPandas" not in plan
+
+
 def test_kleinberg_matches_python(spark):
     rows = {r["event_type"]: r for r in QUERIES["events_burst_kleinberg"](spark, SF).collect()}
     assert rows
