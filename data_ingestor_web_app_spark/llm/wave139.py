@@ -36,6 +36,15 @@ def _kcenter_oracle() -> str:
         """seed AS MATERIALIZED (
         SELECT MIN(vec_id) AS c FROM norms
     )""",
+        # r11: the center's 64 element rows are a MATERIALIZED CTE — the old
+        # form joined ex to ex "ON b.vec_id = (SELECT ...) AND b.i = a.i",
+        # and DuckDB could not push the scalar-subquery filter into the
+        # build side, so the hash join keyed on i alone exploded to
+        # N*64 x N rows per round (measured 12.6 s at sf0.01 for ~1.6M
+        # useful multiplies). Same dot/norm double chains, same values.
+        """b1 AS MATERIALIZED (
+        SELECT i, x FROM ex WHERE vec_id = (SELECT c FROM seed)
+    )""",
         """d1 AS MATERIALIZED (
         SELECT n.vec_id,
                1 - SUM(CAST(a.x AS DOUBLE) * b.x)
@@ -43,7 +52,7 @@ def _kcenter_oracle() -> str:
                                WHERE vec_id = (SELECT c FROM seed))) AS dmin
         FROM norms n
         JOIN ex a ON a.vec_id = n.vec_id
-        JOIN ex b ON b.vec_id = (SELECT c FROM seed) AND b.i = a.i
+        JOIN b1 b ON b.i = a.i
         GROUP BY n.vec_id, n.nrm
     )""",
     ]
@@ -57,6 +66,11 @@ def _kcenter_oracle() -> str:
     )"""
         )
         ctes.append(
+            f"""b{r} AS MATERIALIZED (
+        SELECT i, x FROM ex WHERE vec_id = (SELECT c FROM p{r})
+    )"""
+        )
+        ctes.append(
             f"""d{r} AS MATERIALIZED (
         SELECT p.vec_id,
                CASE WHEN 1 - s.dot / (na.nrm * nb.nrm) < p.dmin
@@ -65,7 +79,7 @@ def _kcenter_oracle() -> str:
         JOIN (SELECT a.vec_id,
                      SUM(CAST(a.x AS DOUBLE) * b.x) AS dot
               FROM ex a
-              JOIN ex b ON b.vec_id = (SELECT c FROM p{r}) AND b.i = a.i
+              JOIN b{r} b ON b.i = a.i
               GROUP BY a.vec_id) s ON s.vec_id = p.vec_id
         JOIN norms na ON na.vec_id = p.vec_id
         JOIN norms nb ON nb.vec_id = (SELECT c FROM p{r})

@@ -95,7 +95,10 @@ def graph_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
     dist = seeds.select(
         "seed", F.col("seed").alias("node"), F.lit(0).alias("d")
     ).localCheckpoint(eager=True)
-    for _ in range(_BFS_ROUNDS):
+    # r11: fence every SECOND round (each eager checkpoint is a Spark job;
+    # two un-fenced rounds only put 4 references on a checkpointed leaf) —
+    # same relaxation math, half the job launches
+    for r in range(_BFS_ROUNDS):
         stepped = (
             dist.join(sym, dist.node == sym.u)
             .select("seed", F.col("v").alias("node"), (F.col("d") + 1).alias("d"))
@@ -104,8 +107,9 @@ def graph_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
             dist.unionByName(stepped)
             .groupBy("seed", "node")
             .agg(F.min("d").alias("d"))
-            .localCheckpoint(eager=True)
         )
+        if r % 2 == 1 or r == _BFS_ROUNDS - 1:
+            dist = dist.localCheckpoint(eager=True)
     return dist.select("seed", "node", F.col("d").cast("long").alias("dist"))
 
 

@@ -129,26 +129,26 @@ _BURST_GAMMA = 1.0  # transition-cost coefficient (gamma * ln n)
 @query(
     "events_burst_kleinberg",
     oracle="""
-    WITH RECURSIVE seq AS (
+    WITH RECURSIVE seq AS MATERIALIZED (
         SELECT event_type, user_id,
                CAST(epoch_ms(ts) AS BIGINT) AS ts_ms, event_id,
                ROW_NUMBER() OVER (PARTITION BY event_type, user_id
                                   ORDER BY ts, event_id) AS rn
         FROM events
     ),
-    gaps AS (
+    gaps AS MATERIALIZED (
         SELECT event_type, user_id, rn - 1 AS t,
                ts_ms - LAG(ts_ms) OVER (PARTITION BY event_type, user_id
                                         ORDER BY rn) AS x
         FROM seq
     ),
-    g AS (SELECT event_type, user_id, t, x FROM gaps WHERE x IS NOT NULL),
-    stats AS (
+    g AS MATERIALIZED (SELECT event_type, user_id, t, x FROM gaps WHERE x IS NOT NULL),
+    stats AS MATERIALIZED (
         SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS n,
                CAST(SUM(x) AS BIGINT) AS tspan
         FROM g GROUP BY event_type, user_id HAVING SUM(x) > 0
     ),
-    costs AS (
+    costs AS MATERIALIZED (
         SELECT g.event_type, g.user_id, g.t,
                CAST(ROUND(1000000 * (CAST(g.x * s.n AS DOUBLE) / s.tspan
                                      - LN(s.n * 1e0 / s.tspan)))

@@ -147,7 +147,9 @@ def graph_ppr_unrolled(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("m"),
     )
     out_share = sym.join(deg, "u")  # static: per-edge source degree
-    for _ in range(_ROUNDS):
+    # fence every SECOND round: one eager checkpoint is one job; p is only
+    # referenced once per round, so two un-fenced rounds keep the plan tiny
+    for r in range(_ROUNDS):
         pushed = (
             out_share.join(p, "u")
             .select(
@@ -172,8 +174,9 @@ def graph_ppr_unrolled(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ).cast("long")
                 ).alias("m"),
             )
-            .localCheckpoint(eager=True)
         )
+        if r % 2 == 1 or r == _ROUNDS - 1:
+            p = p.localCheckpoint(eager=True)
     top = p.orderBy(F.col("m").desc(), "u").limit(_TOPK)
     # bounded: rank window over the _TOPK survivors only
     w = Window.orderBy(F.col("m").desc(), "u")

@@ -137,7 +137,7 @@ def agg_win_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 # v (data-driven, SF-dependent). Depth is FIXED at 5 levels, so the
 # forward and backward passes are each 4 unrolled relaxation rounds.
 _CPM_SQL = """
-    dur AS (
+    dur AS MATERIALIZED (
         SELECT n.n_nationkey AS task, n.n_nationkey // 5 AS lvl,
                CAST(1 + COALESCE(s.cnt, 0) AS BIGINT) AS d
         FROM nation n LEFT JOIN (
@@ -145,77 +145,77 @@ _CPM_SQL = """
             GROUP BY s_nationkey
         ) s ON s.s_nationkey = n.n_nationkey
     ),
-    deps AS (
+    deps AS MATERIALIZED (
         SELECT task, lvl,
                5 * (lvl - 1) + (task * 7 + 1) % 5 AS p1,
                5 * (lvl - 1) + (task * 3 + 2) % 5 AS p2
         FROM dur WHERE lvl >= 1
     ),
-    edges AS (
+    edges AS MATERIALIZED (
         SELECT p1 AS src, task AS dst FROM deps
         UNION
         SELECT p2 AS src, task AS dst FROM deps
     ),
-    ef0 AS (SELECT task, lvl, d, d AS ef FROM dur WHERE lvl = 0),
-    ef1 AS (
+    ef0 AS MATERIALIZED (SELECT task, lvl, d, d AS ef FROM dur WHERE lvl = 0),
+    ef1 AS MATERIALIZED (
         SELECT u.task, u.lvl, u.d, u.d + MAX(p.ef) AS ef
         FROM dur u JOIN edges e ON e.dst = u.task
         JOIN ef0 p ON p.task = e.src
         WHERE u.lvl = 1 GROUP BY u.task, u.lvl, u.d
     ),
-    ef2 AS (
+    ef2 AS MATERIALIZED (
         SELECT u.task, u.lvl, u.d, u.d + MAX(p.ef) AS ef
         FROM dur u JOIN edges e ON e.dst = u.task
         JOIN ef1 p ON p.task = e.src
         WHERE u.lvl = 2 GROUP BY u.task, u.lvl, u.d
     ),
-    ef3 AS (
+    ef3 AS MATERIALIZED (
         SELECT u.task, u.lvl, u.d, u.d + MAX(p.ef) AS ef
         FROM dur u JOIN edges e ON e.dst = u.task
         JOIN ef2 p ON p.task = e.src
         WHERE u.lvl = 3 GROUP BY u.task, u.lvl, u.d
     ),
-    ef4 AS (
+    ef4 AS MATERIALIZED (
         SELECT u.task, u.lvl, u.d, u.d + MAX(p.ef) AS ef
         FROM dur u JOIN edges e ON e.dst = u.task
         JOIN ef3 p ON p.task = e.src
         WHERE u.lvl = 4 GROUP BY u.task, u.lvl, u.d
     ),
-    ef AS (
+    ef AS MATERIALIZED (
         SELECT * FROM ef0 UNION ALL SELECT * FROM ef1
         UNION ALL SELECT * FROM ef2 UNION ALL SELECT * FROM ef3
         UNION ALL SELECT * FROM ef4
     ),
-    span AS (SELECT MAX(ef) AS t FROM ef),
-    lf4 AS (
+    span AS MATERIALIZED (SELECT MAX(ef) AS t FROM ef),
+    lf4 AS MATERIALIZED (
         SELECT task, lvl, d, ef, (SELECT t FROM span) AS lf
         FROM ef WHERE lvl = 4
     ),
-    lf3 AS (
+    lf3 AS MATERIALIZED (
         SELECT u.task, u.lvl, u.d, u.ef, MIN(s.lf - s.d) AS lf
         FROM ef u JOIN edges e ON e.src = u.task
         JOIN lf4 s ON s.task = e.dst
         WHERE u.lvl = 3 GROUP BY u.task, u.lvl, u.d, u.ef
     ),
-    lf2 AS (
+    lf2 AS MATERIALIZED (
         SELECT u.task, u.lvl, u.d, u.ef, MIN(s.lf - s.d) AS lf
         FROM ef u JOIN edges e ON e.src = u.task
         JOIN lf3 s ON s.task = e.dst
         WHERE u.lvl = 2 GROUP BY u.task, u.lvl, u.d, u.ef
     ),
-    lf1 AS (
+    lf1 AS MATERIALIZED (
         SELECT u.task, u.lvl, u.d, u.ef, MIN(s.lf - s.d) AS lf
         FROM ef u JOIN edges e ON e.src = u.task
         JOIN lf2 s ON s.task = e.dst
         WHERE u.lvl = 1 GROUP BY u.task, u.lvl, u.d, u.ef
     ),
-    lf0 AS (
+    lf0 AS MATERIALIZED (
         SELECT u.task, u.lvl, u.d, u.ef, MIN(s.lf - s.d) AS lf
         FROM ef u JOIN edges e ON e.src = u.task
         JOIN lf1 s ON s.task = e.dst
         WHERE u.lvl = 0 GROUP BY u.task, u.lvl, u.d, u.ef
     ),
-    cpm AS (
+    cpm AS MATERIALIZED (
         SELECT * FROM lf0 UNION ALL SELECT * FROM lf1
         UNION ALL SELECT * FROM lf2 UNION ALL SELECT * FROM lf3
         UNION ALL SELECT * FROM lf4

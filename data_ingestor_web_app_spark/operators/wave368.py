@@ -25,22 +25,22 @@ _K_NANO = [int(math.floor(1e9 * math.exp(-k))) for k in range(_NB)]
 def _sink_iter_sql(t: int) -> str:
     """u{t},v{t} -> v{t+1} via u{t+1}: all integer (HUGEINT interim)."""
     return f"""
-    su{t} AS (
+    su{t} AS MATERIALIZED (
         SELECT k.i, SUM(CAST(k.kn AS HUGEINT) * v.v_nano) AS s
         FROM kmat k JOIN v{t} v ON v.j = k.j GROUP BY k.i
     ),
-    u{t + 1} AS (
+    u{t + 1} AS MATERIALIZED (
         SELECT a.i,
                CAST((CAST(a.a_nano AS HUGEINT)
                      * CAST(1000000000000000000 AS HUGEINT)) // su{t}.s
                     AS BIGINT) AS u_nano
         FROM amarg a JOIN su{t} ON su{t}.i = a.i
     ),
-    sv{t} AS (
+    sv{t} AS MATERIALIZED (
         SELECT k.j, SUM(CAST(k.kn AS HUGEINT) * u.u_nano) AS s
         FROM kmat k JOIN u{t + 1} u ON u.i = k.i GROUP BY k.j
     ),
-    v{t + 1} AS (
+    v{t + 1} AS MATERIALIZED (
         SELECT b.j,
                CAST((CAST(b.b_nano AS HUGEINT)
                      * CAST(1000000000000000000 AS HUGEINT)) // sv{t}.s
@@ -52,13 +52,13 @@ def _sink_iter_sql(t: int) -> str:
 @query(
     "sim_sinkhorn_ot",
     oracle=f"""
-    WITH x AS (
+    WITH x AS MATERIALIZED (
         SELECT CAST(ROUND(value * 100) AS BIGINT) AS v,
                CASE WHEN DAYOFWEEK(CAST(ts AS DATE)) IN (0, 6)
                     THEN 1 ELSE 0 END AS we
         FROM events
     ),
-    grid AS (
+    grid AS MATERIALIZED (
         SELECT v, COUNT(*) AS cnt FROM x GROUP BY v
     ),
     edges AS (
@@ -67,24 +67,24 @@ def _sink_iter_sql(t: int) -> str:
                SUM(cnt) OVER () AS n
         FROM grid
     ),
-    dec AS (
+    dec AS MATERIALIZED (
         SELECT CAST(d.range + 1 AS BIGINT) AS q,
                MIN(e.v) AS edge
         FROM range({_NB} - 1) d JOIN edges e
           ON e.cc * {_NB} >= (d.range + 1) * e.n
         GROUP BY d.range
     ),
-    binned AS (
+    binned AS MATERIALIZED (
         SELECT x.we,
                CAST(COALESCE((SELECT COUNT(*) FROM dec
                               WHERE dec.edge < x.v), 0) AS BIGINT) AS b
         FROM x
     ),
-    counts AS (
+    counts AS MATERIALIZED (
         SELECT we, b, COUNT(*) AS c FROM binned GROUP BY we, b
     ),
-    bins AS (SELECT CAST(range AS BIGINT) AS b FROM range({_NB})),
-    amarg AS (
+    bins AS MATERIALIZED (SELECT CAST(range AS BIGINT) AS b FROM range({_NB})),
+    amarg AS MATERIALIZED (
         SELECT bins.b AS i,
                COALESCE((SELECT (c * CAST(1000000000 AS BIGINT))
                                 // (SELECT SUM(c) FROM counts WHERE we = 1)
@@ -92,7 +92,7 @@ def _sink_iter_sql(t: int) -> str:
                         0) AS a_nano
         FROM bins
     ),
-    bmarg AS (
+    bmarg AS MATERIALIZED (
         SELECT bins.b AS j,
                COALESCE((SELECT (c * CAST(1000000000 AS BIGINT))
                                 // (SELECT SUM(c) FROM counts WHERE we = 0)
@@ -100,7 +100,7 @@ def _sink_iter_sql(t: int) -> str:
                         0) AS b_nano
         FROM bins
     ),
-    kmat AS (
+    kmat AS MATERIALIZED (
         SELECT CAST(p.range // {_NB} AS BIGINT) AS i,
                CAST(p.range % {_NB} AS BIGINT) AS j,
                ([{",".join(str(k) for k in _K_NANO)}])
@@ -108,7 +108,7 @@ def _sink_iter_sql(t: int) -> str:
                    AS kn
         FROM range({_NB} * {_NB}) p
     ),
-    v0 AS (SELECT CAST(range AS BIGINT) AS j,
+    v0 AS MATERIALIZED (SELECT CAST(range AS BIGINT) AS j,
                   CAST(1000000000 AS BIGINT) AS v_nano
            FROM range({_NB})),
     {",".join(_sink_iter_sql(t) for t in range(_T))},

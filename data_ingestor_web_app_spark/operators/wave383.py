@@ -214,7 +214,12 @@ def graph_diameter_double_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         dist = seed.select(F.col("node"), F.lit(0).alias("d")).localCheckpoint(
             eager=True
         )
-        for _ in range(_BFS_ROUNDS):
+        # r11: fence every SECOND round — one eager checkpoint is one Spark
+        # job, and 16 of them (2 sweeps x 8 rounds) made job-launch overhead
+        # the wall. Two un-fenced rounds only square the (checkpointed-leaf)
+        # dist references — 4 copies of a local scan, cheap to analyze —
+        # while halving the job count. Same frontier math, same rows.
+        for r in range(_BFS_ROUNDS):
             nxt = (
                 dist.join(sym, dist["node"] == sym["u"])
                 .select(F.col("v").alias("node"), (F.col("d") + 1).alias("d"))
@@ -223,8 +228,9 @@ def graph_diameter_double_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
                 dist.unionByName(nxt)
                 .groupBy("node")
                 .agg(F.min("d").alias("d"))
-                .localCheckpoint(eager=True)
             )
+            if r % 2 == 1 or r == _BFS_ROUNDS - 1:
+                dist = dist.localCheckpoint(eager=True)
         return dist
 
     start1 = sym.agg(F.min("u").alias("node"))

@@ -19,14 +19,14 @@ _SS_SHARDS = 8
     "stream_space_saving_topk",
     oracle=f"""
     WITH RECURSIVE
-    base AS (
+    base AS MATERIALIZED (
         SELECT CAST(user_id % {_SS_SHARDS} AS BIGINT) AS shard,
                CAST(user_id AS BIGINT) AS user_id,
                ROW_NUMBER() OVER (PARTITION BY user_id % {_SS_SHARDS}
                                   ORDER BY ts, event_id) AS seq
         FROM events
     ),
-    nsh AS (SELECT shard, COUNT(*) AS n FROM base GROUP BY shard),
+    nsh AS MATERIALIZED (SELECT shard, COUNT(*) AS n FROM base GROUP BY shard),
     -- sequential space-saving fold, one event per shard per level; the
     -- deterministic replay order (ts, event_id) makes the final sketch a
     -- pure function of the data, so the sketch itself is SQL-expressible
