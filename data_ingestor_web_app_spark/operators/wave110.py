@@ -209,19 +209,25 @@ def events_funnel_window_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias(f"conv_{hh}h")
         )
     agg = gaps.agg(*aggs)
-    rows = [
-        agg.select(
+    # r11: one explode(array(struct...)) over the 1-row sweep aggregate —
+    # the old per-window unionByName re-executed the funnel-gap rollup per
+    # branch. Per-window expressions unchanged.
+    win_structs = [
+        F.struct(
             F.lit(hh).alias("window_hours"),
             F.col(f"conv_{hh}h").alias("n_converted"),
-            "n_signups",
-            F.round(F.col(f"conv_{hh}h") / F.col("n_signups"), 6).alias("conversion_rate"),
+            F.col("n_signups"),
+            F.round(F.col(f"conv_{hh}h") / F.col("n_signups"), 6).alias(
+                "conversion_rate"
+            ),
         )
         for hh in _WINDOWS_H
     ]
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
-    return out.orderBy("window_hours")
+    return (
+        agg.select(F.explode(F.array(*win_structs)).alias("r"))
+        .select("r.*")
+        .orderBy("window_hours")
+    )
 
 
 @query(

@@ -298,13 +298,27 @@ def events_load_duration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         (90, "greatest(1, 9 * n div 10)"),
         (99, "greatest(1, 99 * n div 100)"),
     ]
-    rows = [
-        ranked.where(F.col("rn") == F.expr(expr)).select(
-            F.lit(pct).alias("pct"), F.col("x").alias("load_value")
+    # r11: ONE pass over the ranked frame — per row, keep the picks whose
+    # target rank equals this row's rn and explode them — instead of five
+    # unionByName branches each re-executing the hourly rollup + both rank
+    # windows. rn is a row_number and each target is a per-frame constant,
+    # so exactly one row matches each pick, as before.
+    pick_arr = F.array(
+        *[
+            F.struct(
+                F.lit(pct).alias("pct"),
+                F.expr(expr).cast("long").alias("target"),
+            )
+            for pct, expr in picks
+        ]
+    )
+    return (
+        ranked.select(
+            "x",
+            F.explode(
+                F.filter(pick_arr, lambda p: p["target"] == F.col("rn"))
+            ).alias("p"),
         )
-        for pct, expr in picks
-    ]
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
-    return out.orderBy("pct")
+        .select(F.col("p.pct").alias("pct"), F.col("x").alias("load_value"))
+        .orderBy("pct")
+    )

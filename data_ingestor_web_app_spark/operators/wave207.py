@@ -287,24 +287,29 @@ def events_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
     phi22 = (r2 - r1 * r1) / (1 - r1 * r1)
     phi21 = r1 - r1 * phi22
     phi33 = (r3 - r1 * phi22 - r2 * phi21) / (1 - r1 * phi21 - r2 * phi22)
-    rows = [
-        rho.select(
+    # r11: the 3 lag rows come from ONE explode(array(struct...)) over the
+    # 1-row autocorrelation aggregate — the old 3-branch unionAll embedded
+    # (and re-executed) the lag/moment subtree per branch. Per-lag
+    # expressions unchanged.
+    lag_structs = [
+        F.struct(
             F.lit(1).cast("int").alias("lag"),
             F.round(r1, 6).alias("acf"),
             F.round(r1, 6).alias("pacf"),
         ),
-        rho.select(
+        F.struct(
             F.lit(2).cast("int").alias("lag"),
             F.round(r2, 6).alias("acf"),
             F.round(phi22, 6).alias("pacf"),
         ),
-        rho.select(
+        F.struct(
             F.lit(3).cast("int").alias("lag"),
             F.round(r3, 6).alias("acf"),
             F.round(phi33, 6).alias("pacf"),
         ),
     ]
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionAll(r)
-    return out.orderBy("lag")
+    return (
+        rho.select(F.explode(F.array(*lag_structs)).alias("r"))
+        .select("r.*")
+        .orderBy("lag")
+    )

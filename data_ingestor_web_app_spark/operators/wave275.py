@@ -191,43 +191,43 @@ def agg_concentration_bounds(
         ).alias("var_v"),
     )
     e = table(spark, sf_dir, "events")
-    rows = []
+    # r11: ONE counting pass computes all three tail sums (the old per-k
+    # loop ran a separate corpus aggregate per ladder rung, and the union
+    # re-embedded the moment aggregate per branch); the 3 report rows come
+    # from one explode(array(struct...)) over the single-row frame.
+    # Per-k expressions unchanged.
+    emp = e.crossJoin(F.broadcast(mom)).agg(
+        *[
+            (
+                F.sum(
+                    F.when(F.col("value") > k * F.col("mu"), 1.0).otherwise(0)
+                )
+                / F.count("*")
+            ).alias(f"p_emp_{k}")
+            for k in _K_LADDER
+        ],
+        F.first("mu").alias("mu"),
+        F.first("var_v").alias("var_v"),
+    )
+    k_structs = []
     for k in _K_LADDER:
-        emp = (
-            e.crossJoin(F.broadcast(mom))
-            .agg(
-                (
-                    F.sum(
-                        F.when(F.col("value") > k * F.col("mu"), 1.0).otherwise(
-                            0
-                        )
-                    )
-                    / F.count("*")
-                ).alias("p_emp"),
-                F.first("mu").alias("mu"),
-                F.first("var_v").alias("var_v"),
-            )
-        )
         km1mu = (k - 1) * F.col("mu")
         cant = F.col("var_v") / (F.col("var_v") + km1mu * km1mu)
-        rows.append(
-            emp.select(
+        p_emp = F.col(f"p_emp_{k}")
+        k_structs.append(
+            F.struct(
                 F.lit(k).cast("int").alias("k"),
-                F.round("p_emp", 6).alias("p_empirical"),
+                F.round(p_emp, 6).alias("p_empirical"),
                 F.round(F.lit(1.0 / k), 6).alias("markov_bound"),
                 F.round(
-                    F.least(
-                        F.lit(1.0), F.col("var_v") / (km1mu * km1mu)
-                    ),
-                    6,
+                    F.least(F.lit(1.0), F.col("var_v") / (km1mu * km1mu)), 6
                 ).alias("chebyshev_bound"),
-                F.round(F.least(F.lit(1.0), cant), 6).alias(
-                    "cantelli_bound"
-                ),
-                (F.col("p_emp") <= cant).alias("cantelli_holds"),
+                F.round(F.least(F.lit(1.0), cant), 6).alias("cantelli_bound"),
+                (p_emp <= cant).alias("cantelli_holds"),
             )
         )
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionAll(r)
-    return out.orderBy("k")
+    return (
+        emp.select(F.explode(F.array(*k_structs)).alias("r"))
+        .select("r.*")
+        .orderBy("k")
+    )

@@ -331,8 +331,12 @@ def dq_cross_field_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("v_total"),
     )
-    line_out = [
-        line_rules.select(
+    # r11: the 3 lineitem-rule rows come from ONE explode(array(struct...))
+    # over the single-row rule aggregate — the old per-rule unionByName
+    # re-executed the lineitem aggregate per branch. The order-level rule is
+    # a genuinely different subtree and stays its own union branch.
+    rule_structs = [
+        F.struct(
             F.lit(name).alias("rule"),
             F.col("n").alias("n_checked"),
             F.col(col).alias("n_violations"),
@@ -344,13 +348,13 @@ def dq_cross_field_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("ship_before_order", "v_ship"),
         ]
     ]
+    line_out = line_rules.select(
+        F.explode(F.array(*rule_structs)).alias("r")
+    ).select("r.*")
     order_out = order_rule.select(
         F.lit("order_line_total_gap").alias("rule"),
         F.col("n_orders").alias("n_checked"),
         F.col("v_total").alias("n_violations"),
         F.round(F.col("v_total") / F.col("n_orders"), 6).alias("violation_rate"),
     )
-    out = line_out[0]
-    for o in line_out[1:] + [order_out]:
-        out = out.unionByName(o)
-    return out.orderBy("rule")
+    return line_out.unionByName(order_out).orderBy("rule")
