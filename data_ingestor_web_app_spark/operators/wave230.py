@@ -80,6 +80,11 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     labels = nodes.select("node", F.col("node").alias("label"))
     for _ in range(_CC_ITERS):
+        # r11: the fence sits on neigh, not on the jump output — the
+        # pointer-jump self-join references neigh TWICE, so an un-fenced
+        # neigh executed its edges-join + min-aggregate twice per round.
+        # The jump over the checkpointed leaf is left lazy (two references
+        # to a local scan), so the job count per round is unchanged.
         neigh = (
             edges.join(labels, edges.dst == labels.node)
             .select("src", "label")
@@ -87,6 +92,7 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("src")
             .agg(F.min("label").alias("label"))
             .select(F.col("src").alias("node"), "label")
+            .localCheckpoint(eager=True)
         )
         jump = neigh.alias("a").join(
             neigh.select(
@@ -94,9 +100,7 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("b"),
             "label",
         )
-        labels = jump.select("node", F.col("label2").alias("label")).localCheckpoint(
-            eager=True
-        )
+        labels = jump.select("node", F.col("label2").alias("label"))
     sizes = labels.groupBy("label").agg(F.count("*").alias("component_size"))
     return sizes.groupBy("component_size").agg(
         F.count("*").cast("long").alias("n_components")
