@@ -240,6 +240,12 @@ def events_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("y")
     )
     prev = daily.select((F.col("d") + 1).alias("d"), F.col("y").alias("yp"))
+    # r11 lineage truncation (wave124 idiom): rets is referenced three
+    # times (moments + both lag sides) and itself embeds the daily rollup
+    # twice, so the un-fenced plan re-expanded the events scan ~12x
+    # (measured 60 Exchanges / 24 scans for a 3-row output); g is
+    # referenced by both g0 and the rho projection. Both frames are
+    # calendar-/lag-sized - free to materialize.
     rets = daily.join(prev, "d").select(
         "d",
         F.floor(
@@ -247,7 +253,7 @@ def events_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("rn"),
-    )
+    ).localCheckpoint(eager=True)
     mom = rets.agg(
         F.count("*").cast("long").alias("n"),
         F.sum("rn").cast("long").alias("s"),
@@ -266,6 +272,7 @@ def events_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
                 * (F.col("n") * F.col("rb") - F.col("s"))
             ).alias("gam")
         )
+        .localCheckpoint(eager=True)  # 4 rows; referenced by g0 AND rho
     )
     g0 = g.where("k = 0").select(F.col("gam").alias("g0"))
     rho = (
