@@ -92,6 +92,22 @@ def events_kalman_local_level(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         F.round(F.col("value") * 1000000).cast("long").alias("y"),
     )
+    # r11 (guide §2.3/§4.1, the events_burst_kleinberg pattern): assemble
+    # each (type, user) series JVM-side — sort_array(collect_list) orders
+    # by (ts, event_id) exactly like the pandas sort did — so ONE row per
+    # series crosses the Python boundary via mapInPandas instead of every
+    # event row through per-group pandas machinery. The int64 y sequence
+    # and the fixed-point recursion are unchanged.
+    seqs = (
+        e.groupBy("event_type", "user_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("ts", "event_id", "y"))
+            ).alias("seq")
+        )
+        .where(F.size("seq") >= 2)
+        .select("event_type", F.expr("transform(seq, s -> s.y)").alias("ys"))
+    )
 
     import math
 
@@ -99,13 +115,8 @@ def events_kalman_local_level(spark: SparkSession, sf_dir: str) -> DataFrame:
         # SQL ROUND is half-away-from-zero; python round() is half-even
         return int(math.floor(x + 0.5)) if x >= 0 else int(math.ceil(x - 0.5))
 
-    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
-        ys = pdf["y"].to_numpy(np.int64)
-        if len(ys) < 2:
-            return pd.DataFrame(
-                columns=["event_type", "m", "p", "abs_innov"]
-            )
+    def fold_series(ys) -> tuple:
+        ys = np.asarray(ys, dtype=np.int64)
         m, p = int(ys[0]), _KAL_R
         abs_innov = 0
         for y in ys[1:]:
@@ -116,17 +127,23 @@ def events_kalman_local_level(spark: SparkSession, sf_dir: str) -> DataFrame:
             abs_innov += abs(innov)
             m = m + rha(k * innov / 1e6)
             p = rha((1000000 - k) * pp / 1e6)
-        return pd.DataFrame(
-            {
-                "event_type": [pdf["event_type"].iloc[0]],
-                "m": [m],
-                "p": [p],
-                "abs_innov": [abs_innov],
-            }
-        )
+        return m, p, abs_innov
 
-    per = e.groupBy("event_type", "user_id").applyInPandas(
-        fold, "event_type string, m long, p long, abs_innov long"
+    def fold_batches(batches):
+        for pdf in batches:
+            out = {"event_type": [], "m": [], "p": [], "abs_innov": []}
+            for et, ys in zip(pdf["event_type"], pdf["ys"]):
+                m, p, ai = fold_series(ys)
+                out["event_type"].append(et)
+                out["m"].append(m)
+                out["p"].append(p)
+                out["abs_innov"].append(ai)
+            yield pd.DataFrame(out).astype(
+                {"m": "int64", "p": "int64", "abs_innov": "int64"}
+            )
+
+    per = seqs.mapInPandas(
+        fold_batches, "event_type string, m long, p long, abs_innov long"
     )
     return per.groupBy("event_type").agg(
         F.count("*").cast("long").alias("n_series"),
