@@ -214,6 +214,17 @@ def main() -> None:
     reps: dict[str, list[float]] = {}
     for rep in range(N_REPS):
         for name in HEADLINE:
+            # r12 (VERDICT r11 item 7): Spark's CacheManager matches by
+            # analyzed plan, so a query that .cache()s an intermediate
+            # would hand reps 2+ the previous rep's cached data and the
+            # median would partially measure cached execution. Clearing
+            # between timed runs makes every rep compute from parquet.
+            # Additions-only protocol change: same queries, same SF, same
+            # action, same median-of-reps; cache-using queries report
+            # honestly higher (recompute) numbers from this round on —
+            # called out in OPTIMIZATION_r12.md with both protocols'
+            # numbers for the affected queries.
+            spark.catalog.clearCache()
             reps.setdefault(name, []).append(run_once(spark, name))
     times = {name: round(statistics.median(r), 3) for name, r in reps.items()}
     ingest_reps = []

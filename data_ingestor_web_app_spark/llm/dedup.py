@@ -305,32 +305,59 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.xxhash64(F.sort_array(toks), F.lit("mh-lsh-2")).alias("h2"),
     )
     members = d.select("doc_id", skey.alias("tset")).cache()
-    # one representative token array per distinct token set (arrays in a
-    # group are permutations of each other; min_by pins a deterministic one)
-    reps = (
-        d.select("doc_id", toks.alias("toks"), skey.alias("tset"))
-        .groupBy("tset")
-        .agg(F.min_by("toks", "doc_id").alias("toks"))
-        .cache()
-    )
-    # materialize signatures once — the band self-join would otherwise
-    # recompute the 64-hash fold for BOTH sides (at scale: write
-    # signatures to a table, same reasoning). `sz` (token-set size, one
-    # int) rides along for the size pre-filter below.
-    sig = _minhash_from_tokens(
-        reps.select("tset", "toks", F.size("toks").alias("sz")),
-        key="tset",
-        keep=("sz",),
-    ).cache()
+    # r12: the 64-hash fold and the 8 band buckets are computed PER DOC in
+    # the map-side scan stage, not per rep after the groupBy. A minhash is
+    # a min over the token SET (order-independent), and every member of a
+    # tset group has the identical set (arrays in a group are permutations
+    # of each other), so min_by over the per-doc signatures is
+    # bit-identical to folding the representative's array — but the heavy
+    # fold now runs at full scan parallelism instead of on the 1-2
+    # post-shuffle tasks AQE's bytes-based coalescing left for a ~2 MB
+    # shuffle (guide §2.5: shuffled bytes are a bad proxy for CPU-dense
+    # stages). min_by pins a deterministic representative as before; the
+    # band-bucket xxhash64 over the 8 mh values per band is unchanged.
     rows_per_band = _N_HASHES // _N_BANDS
+    fold = f"""
+    aggregate(
+      toks,
+      array_repeat(cast(9223372036854775807 as bigint), {_N_HASHES}),
+      (acc, t) -> zip_with(acc,
+                           transform(sequence(0, {_N_HASHES - 1}),
+                                     s -> xxhash64(t, s)),
+                           (a, h) -> least(a, h))
+    )
+    """
     barr = F.array(
         *[
-            F.xxhash64(*[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)])
+            F.xxhash64(
+                *[
+                    F.col("__mh")[b * rows_per_band + r]
+                    for r in range(rows_per_band)
+                ]
+            )
             for b in range(_N_BANDS)
         ]
     )
+    per_doc = (
+        d.select("doc_id", toks.alias("toks"), skey.alias("tset"))
+        .withColumn("__mh", F.expr(fold))
+        .select("doc_id", "tset", "toks", barr.alias("barr"))
+    )
+    rs = (
+        per_doc.groupBy("tset")
+        .agg(F.min_by(F.struct("toks", "barr"), "doc_id").alias("s"))
+        .select(
+            "tset",
+            F.col("s.toks").alias("toks"),
+            F.col("s.barr").alias("barr"),
+        )
+        .cache()
+    )
+    # reps (token arrays for the exact-Jaccard verify) and the band rows
+    # both read the one cached collapse output.
+    reps = rs.select("tset", "toks")
     band_rows = (
-        sig.select("tset", "sz", barr.alias("barr"))
+        rs.select("tset", F.size("toks").alias("sz"), "barr")
         .select(
             "tset",
             "sz",

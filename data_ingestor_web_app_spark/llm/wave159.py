@@ -92,28 +92,56 @@ _ORACLE = f"""
     SELECT doc_a, doc_b, jaccard FROM within
     """
 
-_A_SQL = "array(" + ",".join(f"{a}L" for a in _A) + ")"
+# r12: the multiply-mod runs in pure 64-bit integer arithmetic instead of
+# DECIMAL(38) (Java BigDecimal — it was ~10 s of task CPU at sf0.1, the
+# single hottest stage in the bench). P = 2^61-1 is a Mersenne prime, so
+# (a*x + b) mod P decomposes exactly into BIGINT ops (guide §4 "per-task
+# work"): split a = a1*2^31 + a0 (constants, precomputed below) and
+# x = x1*2^31 + x0 (x < 2^60), then
+#   a*x = a1*x1*2^62 + (a1*x0 + a0*x1)*2^31 + a0*x0
+# and each term reduces with 2^61 ≡ 1 (mod P):
+#   a1*x1*2^62        ≡ 2*a1*x1                          (< 2^60)
+#   m*2^31, m=u*2^30+v ≡ u + v*2^31                      (< 2^61+2^32)
+#   t = a0*x0          ≡ (t & P) + (t >> 61)             (< 2^61+2)
+# Every intermediate and the final sum (+ b < 2^61) stays under 2^63 —
+# no overflow, bit-identical values to the DECIMAL form (integers are
+# exact), so the oracle and every signature are unchanged.
+_A1_SQL = "array(" + ",".join(f"{a >> 31}L" for a in _A) + ")"
+_A0_SQL = "array(" + ",".join(f"{a & 0x7FFFFFFF}L" for a in _A) + ")"
 _B_SQL = "array(" + ",".join(f"{b}L" for b in _B) + ")"
 
 # Single-pass fold (same shape as llm/dedup.py's _minhash_from_tokens): one
 # walk over the token array; each token contributes its 64 exact modular
 # hashes; zip_with(least) folds them into the running minimum vector. One
 # md5 per token (not per token x seed) — the seed family is 64 cheap
-# DECIMAL(38) multiply-mod probes on the shared 60-bit digest.
+# Mersenne multiply-mod probes on the shared 60-bit digest.
 _MINHASH_FOLD = f"""
     aggregate(
       transform(toks,
-                t -> CAST(conv(substring(md5(t), 1, 15), 16, 10)
-                          AS DECIMAL(38, 0))),
+                t -> CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT)),
       array_repeat(cast({_P} as bigint), {_N_HASHES}),
       (acc, x) -> zip_with(
           acc,
           transform(sequence(0, {_N_HASHES - 1}),
-                    s -> CAST(pmod(
-                           CAST(element_at({_A_SQL}, s + 1) AS DECIMAL(38, 0))
-                             * x
-                             + element_at({_B_SQL}, s + 1),
-                           {_P}) AS BIGINT)),
+                    s -> pmod(
+                           2L * element_at({_A1_SQL}, s + 1)
+                               * shiftright(x, 31)
+                           + shiftright(
+                               element_at({_A1_SQL}, s + 1) * (x & 2147483647L)
+                               + element_at({_A0_SQL}, s + 1)
+                                   * shiftright(x, 31),
+                               30)
+                           + ((element_at({_A1_SQL}, s + 1) * (x & 2147483647L)
+                               + element_at({_A0_SQL}, s + 1)
+                                   * shiftright(x, 31))
+                              & 1073741823L) * 2147483648L
+                           + ((element_at({_A0_SQL}, s + 1) * (x & 2147483647L))
+                              & {_P}L)
+                           + shiftright(
+                               element_at({_A0_SQL}, s + 1) * (x & 2147483647L),
+                               61)
+                           + element_at({_B_SQL}, s + 1),
+                           {_P}L)),
           (a, h) -> least(a, h))
     )
     """
@@ -142,7 +170,7 @@ def dedup_minhash_lsh_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: identical to dedup_minhash_lsh — linear signature pass,
     band-bucketed candidate join, no all-pairs product; the only extra
-    cost is DECIMAL(38) multiply-mod per (token, seed), still JVM-side
+    cost is one Mersenne multiply-mod per (token, seed), still JVM-side
     codegen."""
     d = table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
@@ -150,29 +178,40 @@ def dedup_minhash_lsh_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.array_distinct(F.split("text", " "))
     tset = F.md5(F.concat_ws("\x1f", F.sort_array(toks)))
     members = d.select("doc_id", tset.alias("tset")).cache()
-    reps = (
-        d.select("doc_id", toks.alias("toks"), tset.alias("tset"))
-        .groupBy("tset")
-        .agg(F.min_by("toks", "doc_id").alias("toks"))
-    )
-    sig = reps.select(
-        "tset", "toks", F.expr(_MINHASH_FOLD).alias("mh")
-    ).cache()
+    # r12: the 64-hash fold and the band strings are computed PER DOC in
+    # the map-side scan stage, not per rep after the groupBy. A minhash is
+    # a min over the token SET (order-independent), and every member of a
+    # tset group has the identical set, so min_by over the per-doc
+    # signatures is bit-identical to folding the representative's array —
+    # but the heavy compute now runs at full scan parallelism instead of
+    # on the 1-2 post-shuffle tasks AQE's bytes-based coalescing left for
+    # a ~2 MB shuffle (guide §2.5: bytes are a bad proxy for CPU-dense
+    # stages; measured 3.5 s -> 0.4 s for the signature pass at sf0.1).
+    # r12: band signatures are 8-long BIGINT array slices of the signature
+    # vector instead of ':'-joined strings. The ':' join of bigints is
+    # injective, so array equality <=> string equality — the join key, the
+    # earlier-band residual check, and therefore the emitted pair SET are
+    # exactly the ones the string form produced (the oracle observes only
+    # that set) — but an 8-long comparison beats a ~160-char string
+    # compare/hash on every one of the ~1M band-bucket probes at sf0.1.
     rows_per_band = _N_HASHES // _N_BANDS
+    mh = F.expr(_MINHASH_FOLD)
     barr = F.array(
-        *[
-            F.concat_ws(
-                ":",
-                *[
-                    F.col("mh")[b * rows_per_band + r].cast("string")
-                    for r in range(rows_per_band)
-                ],
-            )
-            for b in range(_N_BANDS)
-        ]
+        *[F.slice("mh", b * rows_per_band + 1, rows_per_band) for b in range(_N_BANDS)]
+    )
+    per_doc = (
+        d.select("doc_id", toks.alias("toks"), tset.alias("tset"))
+        .withColumn("mh", mh)
+        .select("doc_id", "tset", "toks", barr.alias("barr"))
+    )
+    sig = (
+        per_doc.groupBy("tset")
+        .agg(F.min_by(F.struct("toks", "barr"), "doc_id").alias("s"))
+        .select("tset", F.col("s.toks").alias("toks"), F.col("s.barr").alias("barr"))
+        .cache()
     )
     band_rows = sig.select(
-        "tset", F.size("toks").alias("sz"), barr.alias("barr")
+        "tset", F.size("toks").alias("sz"), "barr"
     ).select("tset", "sz", "barr", F.posexplode("barr").alias("band", "bsig"))
     a, b = band_rows.alias("a"), band_rows.alias("b")
     # r11: first-agreeing-band emission (same device as dedup_minhash_lsh —
