@@ -374,7 +374,16 @@ def _knn_graph_blocked(spark: SparkSession, sf_dir: str, block_rows: int) -> Dat
         )
         return out[np.isfinite(out["cosine"])]
 
-    cands = both.groupBy("qb", "cb").applyInPandas(pair_kernel, schema=cand_schema)
+    # r12: pin the pre-kernel exchange at defaultParallelism — AQE's
+    # bytes-based coalescing squeezed the ~8 MB block fan-out shuffle to ~6
+    # tasks and serialized the GEMMs; the explicit numPartitions
+    # repartition on the grouping keys is exempt from coalescing and
+    # satisfies applyInPandas' clustering (no extra exchange).
+    cands = (
+        both.repartition(par, "qb", "cb")
+        .groupBy("qb", "cb")
+        .applyInPandas(pair_kernel, schema=cand_schema)
+    )
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), "nid")
     return (
         cands.withColumn("rk", F.row_number().over(w).cast("int"))

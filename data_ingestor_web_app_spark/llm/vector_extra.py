@@ -198,8 +198,17 @@ def _bucket_pair_cosines(
             }
         )
 
-    return both.groupBy("c_label", "qb", "cb").applyInPandas(
-        pair_kernel, schema=out_schema
+    # r12: pin the pre-kernel exchange at defaultParallelism — the block
+    # fan-out exists to feed every core, but AQE's bytes-based coalescing
+    # squeezed the ~8 MB shuffle to ~7 tasks and serialized the GEMMs
+    # (guide §2.5: shuffled bytes are a poor proxy for CPU-dense stages).
+    # An explicit numPartitions repartition on the grouping keys is exempt
+    # from AQE coalescing and satisfies applyInPandas' clustering, so no
+    # second exchange is added.
+    return (
+        both.repartition(par, "c_label", "qb", "cb")
+        .groupBy("c_label", "qb", "cb")
+        .applyInPandas(pair_kernel, schema=out_schema)
     )
 
 

@@ -12,7 +12,7 @@ function matrix. Registered at the back of registry._MODULES.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_ingestor_web_app_spark.io import table
@@ -93,48 +93,109 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape identical to dedup_embedding (same blocking); the drop
     rule adds only a projection on the verified pairs plus one DISTINCT
     on (cluster, dropped-id), both bounded by near-dup density."""
-    from data_ingestor_web_app_spark.llm.vector_common import dot as _dot
-    from data_ingestor_web_app_spark.llm.vector_common import norm as _norm
+    from data_ingestor_web_app_spark.llm.vector_common import (
+        best_centroid as _best_centroid,
+        codebook_row as _codebook_row,
+    )
     from data_ingestor_web_app_spark.llm.vector_extra import _label_means
 
-    e = table(spark, sf_dir, "embeddings")
-    base = e.select("vec_id", "embedding", _norm(F.col("embedding")).alias("nrm"))
-    cent = _label_means(e)
-    cdot = base.crossJoin(F.broadcast(cent)).select(
-        "vec_id", "c_label", F.round(_dot(F.col("embedding"), F.col("centroid")), 6).alias("dot")
+    # r12: round-robin repartition restores scan parallelism (the fixture
+    # is one parquet row group — the dedup_minhash_lsh idiom); without it
+    # the whole fused chain below (argmax fold, pair-join probe, per-pair
+    # cosine) ran on the single scan task.
+    e = table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
     )
-    w = Window.partitionBy("vec_id").orderBy(F.col("dot").desc(), F.col("c_label"))
-    assign = (
-        cdot.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") == 1)
-        .select("vec_id", "c_label", F.col("dot").alias("cdot"))
+    base = e.select("vec_id", "embedding")
+    # r12 (guide §2.4, the r11 dedup_embedding pattern): per-row fold
+    # argmax against the broadcast codebook row instead of crossJoin-K +
+    # row_number window — drops the N*K multiply and the window exchange
+    # (which AQE coalesced to ONE task at this scale, serializing the
+    # ~200k per-pair cosine evaluations fused behind it). best_centroid
+    # applies the identical rule: 6dp-rounded sequential-fold dot DESC,
+    # c_label ASC — assignments and cdot values are bit-identical.
+    cent = _label_means(e).localCheckpoint(eager=True)
+    bc = _best_centroid("embedding")
+    blocked = base.crossJoin(_codebook_row(cent)).select(
+        "vec_id",
+        "embedding",
+        bc["c_label"].alias("c_label"),
+        bc["dot"].alias("cdot"),
     )
-    blocked = base.join(assign, "vec_id")
-    a = blocked.select(
-        F.col("vec_id").alias("doc_a"), F.col("embedding").alias("ea"),
-        F.col("nrm").alias("na"), "c_label", F.col("cdot").alias("cdot_a"),
+    assign = blocked.select("vec_id", "c_label", "cdot")
+    # r12 (guide §4.2, the dedup_embedding block-pair GEMM): the old
+    # within-cluster self-join evaluated an interpreted 64-element
+    # zip_with/aggregate cosine per joined row (~400k pairs at sf0.1,
+    # ~10 s of task CPU, re-executed by every reference) — one numpy
+    # matmul per (cluster, qb, cb) block pair replaces it, and the
+    # SemDeDup drop rule (cdot DESC, id tie-break) is applied in-kernel
+    # on the surviving pairs. Each unordered pair lands in exactly one
+    # block pair as (q < c), so the in-kernel doc_a < doc_b mask is also
+    # the global dedup. Threshold semantics unchanged: 6dp-rounded
+    # cosine >= 0.35, cdot values are the argmax fold's (bit-identical).
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    par = spark.sparkContext.defaultParallelism
+    n_blocks = max(1, min(64, int(-(-((2 * par) ** 0.5) // 1))))
+    blk = (F.col("vec_id") % n_blocks).cast("int")
+    tags = F.array(*[F.lit(i) for i in range(n_blocks)])
+    qx = blocked.select(
+        "c_label", blk.alias("qb"), F.explode(tags).alias("cb"),
+        F.col("vec_id").alias("id"), F.col("embedding").alias("v"),
+        F.col("cdot").alias("cd"), F.lit("q").alias("role"),
     )
-    b = blocked.select(
-        F.col("vec_id").alias("doc_b"), F.col("embedding").alias("eb"),
-        F.col("nrm").alias("nb"), "c_label", F.col("cdot").alias("cdot_b"),
+    cx = blocked.select(
+        "c_label", F.explode(tags).alias("qb"), blk.alias("cb"),
+        F.col("vec_id").alias("id"), F.col("embedding").alias("v"),
+        F.col("cdot").alias("cd"), F.lit("c").alias("role"),
     )
-    cos6 = F.round(_dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6)
-    pairs = (
-        a.join(b, ["c_label"])
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .where(cos6 >= 0.35)
-        .select(
-            "c_label",
-            F.when(
-                (F.col("cdot_a") > F.col("cdot_b"))
-                | ((F.col("cdot_a") == F.col("cdot_b")) & (F.col("doc_a") > F.col("doc_b"))),
-                F.col("doc_a"),
-            )
-            .otherwise(F.col("doc_b"))
-            .alias("dropped"),
+    both = qx.unionByName(cx)
+    out_schema = T.StructType(
+        [
+            T.StructField("c_label", T.IntegerType()),
+            T.StructField("vec_id", T.LongType()),
+        ]
+    )
+    empty = pd.DataFrame({"c_label": [], "vec_id": []}).astype(
+        {"c_label": "int32", "vec_id": "int64"}
+    )
+
+    def drop_kernel(pdf):
+        qs = pdf[pdf["role"] == "q"]
+        cs = pdf[pdf["role"] == "c"]
+        if qs.empty or cs.empty:
+            return empty
+        q = np.stack(qs["v"].to_numpy()).astype(np.float64)
+        c = np.stack(cs["v"].to_numpy()).astype(np.float64)
+        qids = qs["id"].to_numpy(dtype=np.int64)
+        cids = cs["id"].to_numpy(dtype=np.int64)
+        qn = np.sqrt((q * q).sum(axis=1))
+        cn = np.sqrt((c * c).sum(axis=1))
+        cos6 = np.round((q @ c.T) / np.outer(qn, cn), 6)
+        keep = (qids[:, None] < cids[None, :]) & (cos6 >= 0.35)
+        qi, ci = np.nonzero(keep)
+        if qi.size == 0:
+            return empty
+        cda = qs["cd"].to_numpy(dtype=np.float64)[qi]
+        cdb = cs["cd"].to_numpy(dtype=np.float64)[ci]
+        a_drops = (cda > cdb) | ((cda == cdb) & (qids[qi] > cids[ci]))
+        return pd.DataFrame(
+            {
+                "c_label": np.full(qi.size, pdf["c_label"].iloc[0], dtype="int32"),
+                "vec_id": np.where(a_drops, qids[qi], cids[ci]),
+            }
         )
+
+    # pin the pre-kernel exchange at defaultParallelism (AQE's bytes-based
+    # coalescing would serialize the GEMMs for a ~MB-scale shuffle)
+    dropped = (
+        both.repartition(par, "c_label", "qb", "cb")
+        .groupBy("c_label", "qb", "cb")
+        .applyInPandas(drop_kernel, schema=out_schema)
+        .distinct()
     )
-    dropped = pairs.select("c_label", F.col("dropped").alias("vec_id")).distinct()
     marked = assign.join(
         dropped.withColumn("is_dropped", F.lit(1)), ["c_label", "vec_id"], "left"
     )
